@@ -1,0 +1,131 @@
+"""Configuration dataclasses for the TPU-native point-cloud accumulation
+framework.
+
+One typed config layer feeds both the CLI entry points and the library API,
+replacing the per-script argparse blocks of the reference
+(run_kitti360_bev_gen.py:25-72, run_nuscenes_bev_gen.py:35-99).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+# Cityscapes-style 19-class trainId vocabulary used by the semseg model
+# (reference: run_kitti360_bev_gen.py:78-97).
+SEMANTIC_NAMES: Tuple[str, ...] = (
+    'road', 'sidewalk', 'building', 'wall', 'fence', 'pole', 'traffic_light',
+    'traffic_sign', 'vegetation', 'terrain', 'sky', 'person', 'rider', 'car',
+    'truck', 'bus', 'train', 'motorcycle', 'bicycle')
+
+# Default semantic exclusion filters: sky, person, rider, train, bicycle
+# (+255 ignore label on the GT path). Reference: run_kitti360_bev_gen.py:98.
+DEFAULT_SEMSEG_FILTERS: Tuple[int, ...] = (10, 11, 12, 16, 18, 255)
+
+# Semantic-name -> class-idx map used by the BEV channel definitions
+# (reference: run_kitti360_bev_gen.py:99).
+DEFAULT_SEM_IDXS: Dict[str, int] = {
+    'road': 0, 'car': 13, 'truck': 14, 'bus': 15, 'motorcycle': 17,
+}
+
+# Classes whose static remnants feed the "dynamic" BEV probability channel
+# (reference: bev_generator/sem_bev.py:55).
+DYN_OBJ_CLASSES: Tuple[str, ...] = ('car', 'truck', 'bus', 'motorcycle')
+
+# Point-row feature layout: every painted point is a fixed 10-vector
+# [x, y, z, intensity, r, g, b, sem, inst, dyn]
+# (reference row layout: nuscenes_oracle_sem_pc_accum.py:435-501 and
+# kitti360_sem_pc_accum.py:151-156).
+PT_X, PT_Y, PT_Z, PT_I = 0, 1, 2, 3
+PT_R, PT_G, PT_B = 4, 5, 6
+PT_SEM, PT_INST, PT_DYN = 7, 8, 9
+PT_DIM = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class BEVConfig:
+    """BEV generation parameters.
+
+    Mirrors the reference ``bev_params`` dict (run_kitti360_bev_gen.py:128-139)
+    plus the fixed-capacity knobs required by static-shape TPU compilation.
+    """
+    bev_type: str = 'sem'            # 'sem' | 'rgb'
+    view_size: float = 80.0          # metric view frame edge [m]
+    pixel_size: int = 256            # output raster edge [px]
+    max_trans_radius: float = 0.0    # random-translation augmentation radius
+    zoom_thresh: float = 0.0         # random zoom clip threshold
+    do_warp: bool = False            # polynomial dense/sparse warping
+    int_scaler: float = 20.0         # road-marking transform (KITTI defaults,
+    int_sep_scaler: float = 20.0     #  NuScenes: 1 / 30 / 0.12 per
+    int_mid_threshold: float = 0.5   #  sem_bev.py:596-604)
+    height_filter: Optional[float] = None  # drop points above ego height
+    rgb_fill: int = 0                # fill value for empty RGB cells
+
+    @property
+    def do_aug(self) -> bool:
+        return self.max_trans_radius > 0.0 or self.zoom_thresh > 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AccumConfig:
+    """Accumulator state-machine parameters.
+
+    ``horizon_dist`` bounds the travelled-path memory horizon
+    (sem_pc_accum.py:96, :185-209). The ``max_*`` capacities size the
+    fixed-shape device buffers (SURVEY.md section 7 decision 1): dynamic point
+    counts become validity masks, never shape changes.
+    """
+    horizon_dist: float = 200.0
+    icp_threshold: float = 1e3
+    use_gt_sem: bool = False
+    semseg_filters: Tuple[int, ...] = DEFAULT_SEMSEG_FILTERS
+    sem_idxs: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_SEM_IDXS))
+    # Fixed capacities for static shapes on device.
+    max_points_per_frame: int = 131072   # >= KITTI velodyne ~120k pts/frame
+    max_frames: int = 256                # > horizon_dist / min frame spacing
+    max_instances: int = 4096            # tracked-object dyn lookup table
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """JAX point-to-plane ICP parameters (replaces Open3D registration_icp,
+    kitti360_sem_pc_accum.py:123-126)."""
+    max_corr_dist: float = 1e3       # correspondence rejection radius
+    num_iters: int = 12              # fixed Gauss-Newton iterations
+    downsample_voxel: float = 0.5    # voxel size for grid downsample [m]
+    max_downsampled: int = 16384     # fixed downsampled cloud capacity
+    normal_neighbors: int = 10       # k-NN for covariance normals
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """BEV sampling policy (the three distance conditions of
+    run_kitti360_bev_gen.py:218-240)."""
+    bev_horizon_dist: float = 80.0
+    bev_dist_between_samples: float = 1.0
+    bevs_per_sample: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class OutputConfig:
+    """Output sharding policy (run_kitti360_bev_gen.py:141-143, :253-273)."""
+    output_dir: str = 'bevs'
+    subdir_size: int = 1000
+    viz_to_disk: bool = True
+
+
+# KITTI-360 sequence table (run_kitti360_bev_gen.py:161-173).
+KITTI360_SEQUENCES: Tuple[str, ...] = (
+    '2013_05_28_drive_0000_sync',
+    '2013_05_28_drive_0002_sync',
+    '2013_05_28_drive_0003_sync',
+    '2013_05_28_drive_0004_sync',
+    '2013_05_28_drive_0005_sync',
+    '2013_05_28_drive_0006_sync',
+    '2013_05_28_drive_0007_sync',
+    '2013_05_28_drive_0009_sync',
+    '2013_05_28_drive_0010_sync',
+)
+KITTI360_START_IDXS: Tuple[int, ...] = (130, 4613, 40, 90, 50, 120, 0, 90, 0)
+KITTI360_END_IDXS: Tuple[int, ...] = (
+    11400, 18997, 770, 11530, 6660, 9698, 2960, 13945, 3540)

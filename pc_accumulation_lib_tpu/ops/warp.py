@@ -1,0 +1,105 @@
+"""Polynomial BEV warping augmentation.
+
+Reference: bev_generator/bev_generator.py:482-698 (class-based copy of the
+legacy utils/bev_data_aug.py:7-166). The dense warp there is a Python double
+loop over all pixels; here it is a batched gather with precomputed row/column
+index maps — identical output, one XLA op. The sparse (trajectory) warp is
+the closed-form inverse of the quadratic, matching warp_point
+(bev_generator.py:548-593) including its int-rounding and clipping.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def cal_warp_params(idx_0, idx_1, idx_max):
+    """Quadratic warp coefficients (a_1, a_2) through (0,0), (idx_max,
+    idx_max) and (idx_0, idx_1) (bev_generator.py:658-683)."""
+    a_1 = (idx_1 - idx_0**2 / idx_max) / (idx_0 * (1.0 - idx_0 / idx_max))
+    a_2 = (1.0 - a_1) / idx_max
+    return a_1, a_2
+
+
+def get_random_warp_params(mean_ratio, max_ratio, I, J, rng=None):
+    """Random warp anchor (i_warp, j_warp) (bev_generator.py:621-656).
+
+    Host-side RNG (numpy Generator); reference distribution: |N(mean, max)|
+    clipped to max, random sign, offset from the image midpoint.
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    max_val = max_ratio * (I / 2.0)
+    mean_val = mean_ratio * max_val
+    i_warp = rng.normal(mean_val, max_val)
+    j_warp = rng.normal(mean_val, max_val)
+    if abs(i_warp) > max_val:
+        i_warp = max_val
+    if abs(j_warp) > max_val:
+        j_warp = max_val
+    if rng.random() < 0.5:
+        i_warp = -i_warp
+    if rng.random() < 0.5:
+        j_warp = -j_warp
+    return (int(I / 2) + i_warp, int(J / 2) + j_warp)
+
+
+def _poly_index_map(a_1, a_2, n):
+    """Source index for each destination index: clip(rint(a1*k + a2*k^2))
+    (bev_generator.py:507-520)."""
+    k = jnp.arange(n, dtype=jnp.float32)
+    src = jnp.rint(a_1 * k + a_2 * k * k).astype(jnp.int32)
+    return jnp.clip(src, 0, n - 1)
+
+
+def warp_dense_maps(maps, a_1, a_2, b_1, b_2):
+    """Warp a stack of dense maps (C,I,J) -> (C,I,J).
+
+    Matches warp_dense_probmaps (bev_generator.py:482-525):
+    B[:, jw, iw] = A[:, j(jw), i(iw)] with j from the b-params over the row
+    index and i from the a-params over the column index.
+    """
+    n_rows, n_cols = maps.shape[-2], maps.shape[-1]
+    row_src = _poly_index_map(b_1, b_2, n_rows)
+    col_src = _poly_index_map(a_1, a_2, n_cols)
+    return maps[..., row_src[:, None], col_src[None, :]]
+
+
+def _inverse_quadratic(x, a_1, a_2):
+    """Closed-form inverse of y = a1*x + a2*x^2 with the reference's
+    degenerate-case guard (bev_generator.py:570-581)."""
+    disc = a_1 * a_1 + 4.0 * a_2 * x
+    inv = jnp.rint((-a_1 + jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_2 + 1e-30))
+    return jnp.where(jnp.abs(a_2) < 1e-6, x, inv)
+
+
+def warp_points_xy(x, y, a_1, a_2, b_1, b_2, I, J):
+    """Inverse-warp point coordinates, int-rounded and clipped like
+    warp_point (bev_generator.py:548-593)."""
+    xw = jnp.clip(_inverse_quadratic(x, a_1, a_2), 0, I - 1)
+    yw = jnp.clip(_inverse_quadratic(y, b_1, b_2), 0, J - 1)
+    return xw, yw
+
+
+def warp_sparse_points(pnts, a_1, a_2, j_mid, j_warp, pixel_size):
+    """Warp sparse (N,>=2) pixel-coordinate points in place-semantics.
+
+    Matches warp_sparse_points (bev_generator.py:527-545): x uses the
+    a-params; y uses b-params recomputed from the REVERSED j anchor
+    (j_warp_rev = P - j_warp), reproducing the reference's axis flip.
+    """
+    j_warp_rev = pixel_size - j_warp
+    b_1_rev, b_2_rev = cal_warp_params(j_warp_rev, j_mid, pixel_size - 1)
+    xw, yw = warp_points_xy(pnts[:, 0], pnts[:, 1], a_1, a_2, b_1_rev,
+                            b_2_rev, pixel_size, pixel_size)
+    out = np.asarray(pnts).copy()
+    out[:, 0] = np.asarray(xw)
+    out[:, 1] = np.asarray(yw)
+    return out
+
+
+def warp_trajs(trajs, a_1, a_2, j_mid, j_warp, pixel_size):
+    """Warp a list of (N,3) pixel-space trajectories (bev_generator.py:685-698)."""
+    return [
+        warp_sparse_points(t, a_1, a_2, j_mid, j_warp, pixel_size)
+        if t.shape[0] > 0 else t for t in trajs
+    ]

@@ -1,0 +1,20 @@
+"""Test harness: run all tests on a virtual 8-device CPU mesh.
+
+Must set env vars BEFORE jax is imported anywhere (SURVEY.md section 4:
+multi-chip tests without a pod).
+"""
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'  # force: env presets axon/TPU
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
