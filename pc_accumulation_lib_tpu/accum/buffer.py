@@ -1,0 +1,122 @@
+"""Fixed-capacity device point buffer + frame painting pipeline.
+
+The reference keeps a Python list of variable-length per-frame clouds and
+re-transforms ALL of them into the newest ego frame every step
+(sem_pc_accum.py:98-102, :156-183 — the O(frames^2 * points) hot loop). Here
+(SURVEY.md section 7 decisions 1-2):
+
+  * state is a slotted (MAX_FRAMES, MAX_PTS, 10) device buffer + validity
+    masks; a frame occupies slot ``frame_id % MAX_FRAMES``;
+  * points are stored ONCE in a fixed world frame (the first ego frame, as
+    the oracle accumulator does at nuscenes_oracle_sem_pc_accum.py:170-186);
+    re-expression in the newest ego frame happens only at BEV time as a
+    single fused 4x4 transform;
+  * memory-horizon eviction (sem_pc_accum.py:185-209) is a window-bound
+    update on host — the device read path masks by frame id.
+
+Per-point feature layout is config.PT_* :
+  [x, y, z, intensity, r, g, b, sem, inst, dyn]
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.ops import geometry as geo
+
+
+class BufferState(NamedTuple):
+    """Accumulated semantic point cloud in world frame (device arrays)."""
+    points: jax.Array      # (F, N, 10) float32
+    valid: jax.Array       # (F, N) bool
+    frame_ids: jax.Array   # (F,) int32, -1 = empty slot
+    inst_dyn: jax.Array    # (MAX_INST,) float32 per-instance dynamic flag
+
+
+def init_state(max_frames: int, max_points: int,
+               max_instances: int) -> BufferState:
+    return BufferState(
+        points=jnp.zeros((max_frames, max_points, cfg.PT_DIM), jnp.float32),
+        valid=jnp.zeros((max_frames, max_points), bool),
+        frame_ids=jnp.full((max_frames,), -1, jnp.int32),
+        inst_dyn=jnp.zeros((max_instances,), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def insert_frame(state: BufferState, pts: jax.Array, valid: jax.Array,
+                 frame_id: jax.Array) -> BufferState:
+    """Write one painted frame into its ring slot. ``pts`` (N,10), ``valid``
+    (N,), ``frame_id`` scalar int32."""
+    slot = frame_id % state.frame_ids.shape[0]
+    return state._replace(
+        points=jax.lax.dynamic_update_slice(state.points, pts[None],
+                                            (slot, 0, 0)),
+        valid=jax.lax.dynamic_update_slice(state.valid, valid[None],
+                                           (slot, 0)),
+        frame_ids=state.frame_ids.at[slot].set(frame_id),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def set_instance_dyn(state: BufferState, inst_idxs: jax.Array,
+                     dyn_flags: jax.Array) -> BufferState:
+    """Mark instances dynamic. Replaces the reference's retroactive rewrite
+    of past points' dyn column (nuscenes_oracle_sem_pc_accum.py:243-250):
+    the effective per-point dyn is resolved at raster time via this table."""
+    return state._replace(
+        inst_dyn=state.inst_dyn.at[inst_idxs].max(dyn_flags))
+
+
+@functools.partial(jax.jit, static_argnames=('filters',))
+def paint_frame_camera(pc, valid, rgb_img, semseg, P_velo_frame,
+                       T_world_velo, filters):
+    """Fused paint: project lidar into the camera, gather RGB + semantic
+    class, filter classes, transform to world frame.
+
+    Replaces the estimated-sem path of obs2sem_vec_space
+    (kitti360_sem_pc_accum.py:129-156): gen_semantic_pc x2
+    (sem_pc_accum.py:323-345) + filter_semseg_pc (:317-321) + inst/dyn pad.
+
+    Args:
+      pc: (N,4) [x,y,z,intensity] velodyne points (padded).
+      valid: (N,) input validity (padding mask).
+      rgb_img: (H,W,3) float32 image.
+      semseg: (H,W) int32/float32 class-index map.
+      P_velo_frame: (3,4) velo->image projection.
+      T_world_velo: (4,4) velo->world transform.
+      filters: static tuple of semantic class ids to drop.
+
+    Returns (painted (N,10), valid_out (N,)).
+    """
+    feats = jnp.concatenate([rgb_img, semseg[..., None].astype(jnp.float32)],
+                            axis=-1)
+    gathered, proj_mask = geo.paint_from_image(pc[:, :3], P_velo_frame, feats)
+    sem = gathered[:, 3]
+    valid_out = valid & proj_mask & geo.semseg_filter_mask(sem, filters)
+    world_xyz = geo.homo_transform(T_world_velo, pc[:, :3])
+    zeros = jnp.zeros_like(sem)
+    painted = jnp.concatenate([
+        world_xyz, pc[:, 3:4], gathered[:, :3], sem[:, None],
+        zeros[:, None], zeros[:, None]
+    ], axis=1)
+    return painted, valid_out
+
+
+@functools.partial(jax.jit, static_argnames=('filters',))
+def paint_frame_gt(pc, valid, sem_gt, T_world_velo, filters):
+    """GT-semantics paint path: zero RGB, keep all (unfiltered) points
+    (kitti360_sem_pc_accum.py:138-144)."""
+    sem = sem_gt.astype(jnp.float32)
+    valid_out = valid & geo.semseg_filter_mask(sem, filters)
+    world_xyz = geo.homo_transform(T_world_velo, pc[:, :3])
+    zeros = jnp.zeros_like(sem)
+    painted = jnp.concatenate([
+        world_xyz, pc[:, 3:4], zeros[:, None], zeros[:, None],
+        zeros[:, None], sem[:, None], zeros[:, None], zeros[:, None]
+    ], axis=1)
+    return painted, valid_out

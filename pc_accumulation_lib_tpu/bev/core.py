@@ -1,0 +1,148 @@
+"""Fused device-side BEV raster pipeline.
+
+One jitted pass fuses what the reference spreads across
+BEVGenerator.generate -> preprocess_pc_and_trajs -> SemBEVGenerator.
+generate_bev (bev_generator.py:63-160, sem_bev.py:36-262):
+
+  world->BEV-ref 4x4 transform, rotation/translation/zoom augmentation, view
+  crop, height filter, metric->pixel mapping, static/dynamic partition,
+  present/future/full time splits, all five channel families, polynomial
+  dense warp, and the road-marking intensity transform —
+
+over the flat fixed-capacity point buffer, with every subset expressed as a
+mask. Augmentation fan-out (`bevs_per_sample`, reference multiprocessing.Pool
+at kitti360_sem_pc_accum.py:236-241) is a vmap over parameter batches.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.ops import geometry as geo
+from pc_accumulation_lib_tpu.ops import rasterize as ras
+from pc_accumulation_lib_tpu.ops import warp as warp_ops
+
+
+class RasterParams(NamedTuple):
+    """Traced per-sample raster parameters (batch axis = aug samples)."""
+    T_ref_world: jax.Array    # (4,4) world -> BEV reference frame
+    bev_coords: jax.Array     # (3,) BEV origin in reference frame
+    window_min: jax.Array     # scalar i32: first in-horizon global frame id
+    window_max: jax.Array     # scalar i32: last global frame id (inclusive)
+    present_frame: jax.Array  # scalar i32: frames < this are 'present'
+    rot_ang: jax.Array        # scalar f32
+    trans_dx: jax.Array       # scalar f32
+    trans_dy: jax.Array       # scalar f32
+    zoom: jax.Array           # scalar f32 (aug_view = zoom * view_size)
+    warp_a1: jax.Array        # dense-warp column polynomial (identity: 1,0)
+    warp_a2: jax.Array
+    warp_b1: jax.Array        # dense-warp row polynomial (identity: 1,0)
+    warp_b2: jax.Array
+    height_thresh: jax.Array  # scalar f32 (+inf = disabled)
+
+
+def identity_params(T_ref_world=None, bev_coords=None, window=(0, 0),
+                    present_frame=0, height_thresh=np.inf):
+    T = np.eye(4, dtype=np.float32) if T_ref_world is None else T_ref_world
+    c = np.zeros(3, np.float32) if bev_coords is None else bev_coords
+    f32 = np.float32
+    return RasterParams(
+        T_ref_world=jnp.asarray(T, jnp.float32),
+        bev_coords=jnp.asarray(c, jnp.float32),
+        window_min=jnp.int32(window[0]), window_max=jnp.int32(window[1]),
+        present_frame=jnp.int32(present_frame),
+        rot_ang=f32(0), trans_dx=f32(0), trans_dy=f32(0), zoom=f32(1),
+        warp_a1=f32(1), warp_a2=f32(0), warp_b1=f32(1), warp_b2=f32(0),
+        height_thresh=f32(height_thresh))
+
+
+# Channel order inside the warped map stack, per split.
+_SPLIT_CHANNELS = ('road', 'intensity', 'rgb_r', 'rgb_g', 'rgb_b', 'dynamic',
+                   'elevation')
+
+
+def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
+                   int_sep_scaler, int_mid_threshold, rgb_fill=0):
+    """Build the jitted raster core with static BEV config baked in.
+
+    Returned fn signature:
+      fn(points (M,10), valid (M,), pt_frame_ids (M,) i32,
+         inst_dyn (K,) f32, params: RasterParams, gen_future: static bool)
+      -> dict of (P,P)/(3,P,P) float32 maps keyed road/intensity/rgb/
+         dynamic/elevation x present[/future/full].
+    """
+    P = pixel_size
+    sem_idxs = dict(sem_idxs)
+
+    def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
+        xyz = points[:, :3]
+        # World -> BEV reference frame, shift to BEV origin
+        # (kitti360_sem_pc_accum.py:192-213; the reference instead re-rotates
+        # its whole history every integrate step — same math, done once).
+        ref = geo.homo_transform(params.T_ref_world, xyz) - params.bev_coords
+        t = geo.geometric_transform(ref, params.rot_ang, params.trans_dx,
+                                    params.trans_dy)
+        aug_view = params.zoom * view_size
+
+        in_window = ((pt_frame_ids >= params.window_min)
+                     & (pt_frame_ids <= params.window_max))
+        m = valid & in_window & geo.crop_view_mask(t, aug_view)
+        # Height filter (bev_generator.py:151-154); +inf disables.
+        m &= t[:, 2] < params.height_thresh
+
+        grid = geo.pos2grid(t[:, :2], aug_view, P)
+        cells = geo.grid_cell_index(grid[:, 0], grid[:, 1], P)
+        cells = jnp.clip(cells, 0, P * P - 1)  # masked rows may be wild
+
+        # Static/dynamic partition (sem_bev.py:54-58) with the per-instance
+        # dyn table folded in (replaces the retroactive dyn-column rewrite,
+        # nuscenes_oracle_sem_pc_accum.py:243-250).
+        inst = jnp.clip(points[:, cfg.PT_INST].astype(jnp.int32), 0,
+                        inst_dyn.shape[0] - 1)
+        dyn_eff = jnp.maximum(points[:, cfg.PT_DYN], inst_dyn[inst])
+        static_m = m & (dyn_eff != 1.0)
+
+        present_m = pt_frame_ids < params.present_frame
+        z = t[:, 2]
+        inten = points[:, cfg.PT_I]
+        rgb = points[:, cfg.PT_R:cfg.PT_B + 1]
+        sem = points[:, cfg.PT_SEM]
+
+        splits = {'present': static_m & present_m}
+        if gen_future:
+            splits['future'] = static_m & ~present_m
+            splits['full'] = static_m
+
+        # Rasterize all channels for all splits, stack for one fused warp
+        # (sem_bev.py:120-194 warps the full map stack with one param set).
+        stack, meta = [], []
+        for name, split_mask in splits.items():
+            ch = ras.bev_split_channels(cells, split_mask, z, inten, rgb,
+                                        sem, sem_idxs, P, rgb_fill=rgb_fill)
+            stack += [ch['road'], ch['intensity'], ch['rgb'][0],
+                      ch['rgb'][1], ch['rgb'][2], ch['dynamic'],
+                      ch['elevation']]
+            meta.append(name)
+        maps = jnp.stack(stack)
+        maps = warp_ops.warp_dense_maps(maps, params.warp_a1, params.warp_a2,
+                                        params.warp_b1, params.warp_b2)
+
+        out = {}
+        n_ch = len(_SPLIT_CHANNELS)
+        for si, name in enumerate(meta):
+            base = si * n_ch
+            inten_map = ras.road_marking_transform(
+                maps[base + 1], int_scaler, int_sep_scaler,
+                int_mid_threshold)
+            out[f'road_{name}'] = maps[base + 0]
+            out[f'intensity_{name}'] = inten_map
+            out[f'rgb_{name}'] = maps[base + 2:base + 5]
+            out[f'dynamic_{name}'] = maps[base + 5]
+            out[f'elevation_{name}'] = maps[base + 6]
+        return out
+
+    return jax.jit(raster, static_argnames=('gen_future',))

@@ -1,0 +1,273 @@
+"""Semantic BEV generator: host orchestration around the fused device raster.
+
+API-parity counterpart of SemBEVGenerator (bev_generator/sem_bev.py:7-262) /
+BEVGenerator (bev_generator/bev_generator.py:10-196). Differences by design:
+
+  * the per-point pipeline runs as ONE jitted device pass (bev/core.py);
+  * ``bevs_per_sample`` augmentation fan-out is a loop of device launches
+    with host-drawn parameters instead of a multiprocessing.Pool fork
+    (kitti360_sem_pc_accum.py:236-241);
+  * trajectories (tiny) are processed host-side with the closed-form crop
+    (ops/trajectory.py).
+
+The 'full' split is computed as present ∪ future — which is exactly what
+every reference call site passes as pc_full (kitti360_sem_pc_accum.py:204,
+nuscenes_oracle_sem_pc_accum.py:536).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.bev import core
+from pc_accumulation_lib_tpu.ops import trajectory as traj_ops
+from pc_accumulation_lib_tpu.ops import warp as warp_ops
+
+_MAP_KEYS = ('road', 'intensity', 'rgb', 'dynamic', 'elevation')
+
+
+def _pad_bucket(n: int, minimum: int = 1024) -> int:
+    """Round capacity up to a power of two to bound recompiles."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _to_rows10(pc: np.ndarray) -> np.ndarray:
+    """Normalize point rows to the 10-column layout (config.PT_*).
+
+    Accepts (N,8) [..sem] (+inst,dyn zeros appended), (N,9) [..sem,dyn]
+    (zero inst inserted), or (N,10)."""
+    n, c = pc.shape
+    if c == 10:
+        return pc
+    if c == 8:
+        return np.concatenate([pc, np.zeros((n, 2))], axis=1)
+    if c == 9:
+        return np.concatenate(
+            [pc[:, :8], np.zeros((n, 1)), pc[:, 8:9]], axis=1)
+    raise ValueError(f'Expected 8-10 point feature columns, got {c}')
+
+
+class SemBEVGenerator:
+    """Drop-in analogue of the reference SemBEVGenerator (sem_bev.py:10-34);
+    constructor argument order preserved."""
+
+    def __init__(self, sem_idxs: dict, view_size: float, pixel_size: int,
+                 max_trans_radius: float = 0., zoom_thresh: float = 0.,
+                 do_warp: bool = False, int_scaler: float = 1.,
+                 int_sep_scaler: float = 1., int_mid_threshold: float = 0.5,
+                 height_filter: Optional[float] = None, rgb_fill: int = 0,
+                 seed: Optional[int] = None):
+        self.sem_idxs = dict(sem_idxs)
+        self.view_size = float(view_size)
+        self.pixel_size = int(pixel_size)
+        self.max_trans_radius = max_trans_radius
+        self.zoom_thresh = zoom_thresh
+        self.do_warp = do_warp
+        self.int_scaler = int_scaler
+        self.int_sep_scaler = int_sep_scaler
+        self.int_mid_threshold = int_mid_threshold
+        self.height_filter = height_filter
+        self.rgb_fill = rgb_fill
+        self.sem_idx = cfg.PT_SEM   # column of semantic info (parity attr)
+        self.dyn_idx = cfg.PT_DYN   # column of dynamic flag (parity attr)
+        self._rng = np.random.default_rng(seed)
+        self._raster = core.make_raster_fn(self.view_size, self.pixel_size,
+                                           self.sem_idxs, int_scaler,
+                                           int_sep_scaler, int_mid_threshold,
+                                           rgb_fill)
+
+    # ------------------------------------------------------------------
+    # Augmentation parameter draws (host RNG)
+    # ------------------------------------------------------------------
+    @property
+    def do_aug(self) -> bool:
+        return self.max_trans_radius > 0. or self.zoom_thresh > 0.
+
+    def _draw_geom_aug(self):
+        """Random rotation/translation/zoom (bev_generator.py:162-184)."""
+        rot_ang = 2 * np.pi * self._rng.random()
+        trans_r = self.max_trans_radius * self._rng.random()
+        trans_ang = 2 * np.pi * self._rng.random()
+        zoom = float(np.clip(self._rng.normal(0, 0.1), -self.zoom_thresh,
+                             self.zoom_thresh)) + 1.0
+        return (rot_ang, trans_r * np.cos(trans_ang),
+                trans_r * np.sin(trans_ang), zoom)
+
+    def _draw_warp(self):
+        """Random polynomial warp parameters (sem_bev.py:121-128); identity
+        when do_warp is off."""
+        P = self.pixel_size
+        if not self.do_warp:
+            return dict(a1=1.0, a2=0.0, b1=1.0, b2=0.0, i_mid=P // 2,
+                        j_mid=P // 2, i_warp=P // 2, j_warp=P // 2,
+                        active=False)
+        i_mid = j_mid = P // 2
+        i_warp, j_warp = warp_ops.get_random_warp_params(
+            0.15, 0.30, P, P, rng=self._rng)
+        a1, a2 = warp_ops.cal_warp_params(i_warp, i_mid, P - 1)
+        b1, b2 = warp_ops.cal_warp_params(j_warp, j_mid, P - 1)
+        return dict(a1=a1, a2=a2, b1=b1, b2=b2, i_mid=i_mid, j_mid=j_mid,
+                    i_warp=i_warp, j_warp=j_warp, active=True)
+
+    @staticmethod
+    def _heading_rot_ang(ego_traj_present) -> float:
+        """Heading-aligned rotation (bev_generator.py:87-93)."""
+        rot_ang = 0.5 * np.pi
+        if ego_traj_present is not None and len(ego_traj_present) > 1:
+            dx = ego_traj_present[-1][0] - ego_traj_present[-2][0]
+            dy = ego_traj_present[-1][1] - ego_traj_present[-2][1]
+            rot_ang += np.arctan2(dy, dx)
+        return float(np.pi - rot_ang)
+
+    # ------------------------------------------------------------------
+    # Core sample generation (shared by standalone + accumulator paths)
+    # ------------------------------------------------------------------
+    def generate_samples(self, points, valid, pt_frame_ids, inst_dyn,
+                         base_params: core.RasterParams,
+                         trajs: Dict, n_samples: int, gen_future: bool,
+                         randomize: Optional[bool] = None) -> List[Dict]:
+        """Generate ``n_samples`` BEV dicts from device-resident points.
+
+        Args:
+          points/valid/pt_frame_ids/inst_dyn: flat device arrays (bev/core).
+          base_params: RasterParams with frame/window/origin fields set;
+            augmentation fields are overwritten per sample.
+          trajs: metric-space trajectories ALREADY in the BEV frame:
+            {'ego_traj_present': (N,3), 'other_trajs_present': [(N,3)...],
+             ... future/full ..., optional 'gt_lanes': [(N,3)...]}.
+          randomize: override for the do_aug decision (reference
+            generate_multiproc, bev_generator.py:186-196).
+        """
+        randomize = self.do_aug if randomize is None else randomize
+        hf = np.inf if self.height_filter is None else self.height_filter
+        bevs = []
+        for _ in range(n_samples):
+            if randomize:
+                rot_ang, dx, dy, zoom = self._draw_geom_aug()
+            else:
+                rot_ang = self._heading_rot_ang(trajs.get('ego_traj_present'))
+                dx, dy, zoom = 0.0, 0.0, 1.0
+            w = self._draw_warp()
+            params = base_params._replace(
+                rot_ang=jnp.float32(rot_ang), trans_dx=jnp.float32(dx),
+                trans_dy=jnp.float32(dy), zoom=jnp.float32(zoom),
+                warp_a1=jnp.float32(w['a1']), warp_a2=jnp.float32(w['a2']),
+                warp_b1=jnp.float32(w['b1']), warp_b2=jnp.float32(w['b2']),
+                height_thresh=jnp.float32(hf))
+            maps = self._raster(points, valid, pt_frame_ids, inst_dyn,
+                                params, gen_future)
+            bev = self._assemble(maps, trajs, rot_ang, dx, dy,
+                                 zoom * self.view_size, w, gen_future)
+            bevs.append(bev)
+        return bevs
+
+    def _process_trajs(self, traj_list, rot_ang, dx, dy, aug_view, w):
+        """Transform + crop + pixelize + warp one list of trajectories
+        (bev_generator.py:127-160 + sem_bev.py:157-194)."""
+        out = []
+        for t in traj_list:
+            t = np.asarray(t, dtype=np.float64).reshape(-1, 3)
+            t = traj_ops.geometric_transform_traj(t, rot_ang, dx, dy,
+                                                  aug_view)
+            t = traj_ops.pos2grid_traj(t, aug_view, self.pixel_size)
+            out.append(t)
+        if w['active']:
+            out = warp_ops.warp_trajs(out, w['a1'], w['a2'], w['j_mid'],
+                                      w['j_warp'], self.pixel_size)
+        return out
+
+    def _assemble(self, maps, trajs, rot_ang, dx, dy, aug_view, w,
+                  gen_future) -> Dict:
+        """Build the output BEV dict with the reference's exact key set and
+        float16 down-cast (sem_bev.py:204-257)."""
+        bev = {}
+        splits = ('present', 'future', 'full') if gen_future else ('present',)
+        for s in splits:
+            for k in _MAP_KEYS:
+                bev[f'{k}_{s}'] = np.asarray(maps[f'{k}_{s}']).astype(
+                    np.float16)
+        for s in splits:
+            ego = trajs.get(f'ego_traj_{s}')
+            others = trajs.get(f'other_trajs_{s}') or []
+            tl = ([] if ego is None else [ego]) + list(others)
+            bev[f'trajs_{s}'] = self._process_trajs(tl, rot_ang, dx, dy,
+                                                    aug_view, w)
+        if trajs.get('gt_lanes') is not None:
+            lanes = self._process_trajs(trajs['gt_lanes'], rot_ang, dx, dy,
+                                        aug_view, w)
+            bev['gt_lanes'] = [l for l in lanes if l.shape[0] > 0]
+        return bev
+
+    # ------------------------------------------------------------------
+    # Reference-parity standalone API (raw numpy point dicts)
+    # ------------------------------------------------------------------
+    def generate(self, pcs: Dict, trajs: Dict, rot_ang: float = 0.,
+                 trans_dx: float = 0., trans_dy: float = 0.,
+                 zoom_scalar: float = 1., do_warping: bool = False) -> Dict:
+        """Reference BEVGenerator.generate (bev_generator.py:63-125) on raw
+        numpy dicts: pcs = {'pc_present','pc_future','pc_full'}."""
+        points, valid, fids, gen_future = self._pack_pcs(pcs)
+        if not do_warping:
+            rot_ang = self._heading_rot_ang(trajs.get('ego_traj_present'))
+        hf = np.inf if self.height_filter is None else self.height_filter
+        w = self._draw_warp()
+        params = core.identity_params(window=(0, 1), present_frame=1,
+                                      height_thresh=hf)._replace(
+            rot_ang=jnp.float32(rot_ang), trans_dx=jnp.float32(trans_dx),
+            trans_dy=jnp.float32(trans_dy), zoom=jnp.float32(zoom_scalar),
+            warp_a1=jnp.float32(w['a1']), warp_a2=jnp.float32(w['a2']),
+            warp_b1=jnp.float32(w['b1']), warp_b2=jnp.float32(w['b2']))
+        inst_dyn = jnp.zeros((1,), jnp.float32)
+        maps = self._raster(points, valid, fids, inst_dyn, params,
+                            gen_future)
+        return self._assemble(maps, trajs, rot_ang, trans_dx, trans_dy,
+                              zoom_scalar * self.view_size, w, gen_future)
+
+    def generate_rand_aug(self, pcs: Dict, trajs: Dict,
+                          do_warping: bool = True) -> Dict:
+        """Random-augmentation variant (bev_generator.py:162-184)."""
+        rot_ang, dx, dy, zoom = self._draw_geom_aug()
+        return self.generate(pcs, trajs, rot_ang, dx, dy, zoom, do_warping)
+
+    def generate_multiproc(self, bev_gen_inputs) -> Dict:
+        """Parity shim for the reference Pool entry point
+        (bev_generator.py:186-196)."""
+        pcs, trajs = bev_gen_inputs
+        if self.do_aug:
+            return self.generate_rand_aug(pcs, trajs)
+        return self.generate(pcs, trajs)
+
+    def _pack_pcs(self, pcs: Dict):
+        """Pack pc_present/pc_future into one flat padded buffer with
+        pseudo frame ids 0 (present) / 1 (future)."""
+        pc_p = _to_rows10(np.asarray(pcs['pc_present'], np.float32))
+        pc_f = pcs.get('pc_future')
+        gen_future = pc_f is not None
+        if gen_future:
+            pc_f = _to_rows10(np.asarray(pc_f, np.float32))
+            n_p, n_f = pc_p.shape[0], pc_f.shape[0]
+            flat = np.concatenate([pc_p, pc_f], axis=0)
+            fids = np.concatenate(
+                [np.zeros(n_p, np.int32), np.ones(n_f, np.int32)])
+        else:
+            flat = pc_p
+            fids = np.zeros(pc_p.shape[0], np.int32)
+        n = flat.shape[0]
+        cap = _pad_bucket(n)
+        pad = cap - n
+        flat = np.pad(flat, ((0, pad), (0, 0)))
+        fids = np.pad(fids, (0, pad))
+        valid = np.arange(cap) < n
+        return (jnp.asarray(flat), jnp.asarray(valid), jnp.asarray(fids),
+                gen_future)
+
+    def viz_bev(self, bev, file_path, rgbs=None, semsegs=None):
+        from pc_accumulation_lib_tpu.bev import viz
+        viz.viz_bev(bev, file_path, self.pixel_size, self.height_filter,
+                    rgbs or [], semsegs or [])

@@ -91,7 +91,9 @@ class ICPConfig:
     """JAX point-to-plane ICP parameters (replaces Open3D registration_icp,
     kitti360_sem_pc_accum.py:123-126)."""
     max_corr_dist: float = 1e3       # correspondence rejection radius
-    num_iters: int = 12              # fixed Gauss-Newton iterations
+    num_iters: int = 16              # fixed Gauss-Newton iterations
+                                     # (first half untrimmed, then annealed
+                                     # trim; see ops/icp.py)
     downsample_voxel: float = 0.5    # voxel size for grid downsample [m]
     max_downsampled: int = 16384     # fixed downsampled cloud capacity
     normal_neighbors: int = 10       # k-NN for covariance normals

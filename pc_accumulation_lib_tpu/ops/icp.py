@@ -1,0 +1,195 @@
+"""TPU-native ICP ego-motion registration.
+
+Replaces Open3D's point-to-plane registration + normal estimation + KD-tree
+(C++) used at kitti360_sem_pc_accum.py:123-126 / sem_pc_accum.py:310-315.
+
+TPU-first design (SURVEY.md section 7 decision 7):
+  * clouds are voxel-grid downsampled into a FIXED-capacity centroid set via
+    hash scatter-means (no dynamic shapes);
+  * nearest-neighbor search is a dense pairwise-distance computation — the
+    cross term is a (M,3)x(3,M) matmul, i.e. MXU work, which at M~8k beats
+    any host KD-tree by orders of magnitude;
+  * normals are smallest-eigenvectors of k-NN covariance (batched eigh);
+  * the 6-DoF point-to-plane solve is Gauss-Newton with a fixed iteration
+    count under lax.scan, correspondences rejected beyond
+    ``max_corr_dist`` (the reference's icp_threshold,
+    run_kitti360_bev_gen.py:71).
+
+Convention: ``register(source, target)`` returns T mapping source-frame
+coords to target-frame coords, minimizing target-normal residuals — matching
+o3d.registration_icp(source=prev, target=new) whose transformation is
+T_new_prev (kitti360_sem_pc_accum.py:119-127).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class ICPCloud(NamedTuple):
+    """Fixed-capacity downsampled cloud with normals."""
+    points: jax.Array    # (M,3)
+    normals: jax.Array   # (M,3)
+    valid: jax.Array     # (M,)
+
+
+def strided_subsample(points, valid, max_out):
+    """Fixed-shape uniform subsample of a prefix-packed padded cloud.
+
+    Picks ``max_out`` evenly spaced valid points (indices floor(i*n/M));
+    repeats points when n < M (harmless for registration). Unlike a hashed
+    voxel merge, this never fabricates geometry — and point-to-plane
+    residuals are first-order insensitive to in-surface sampling offsets, so
+    subsampling does not bias the solve.
+
+    Requires valid points to occupy a prefix of the buffer (true for raw
+    frame padding).
+    """
+    n = jnp.sum(valid.astype(jnp.int32))
+    idx = (jnp.arange(max_out) * n) // max_out
+    idx = jnp.clip(idx, 0, points.shape[0] - 1)
+    return points[idx], jnp.full((max_out,), n > 0)
+
+
+def voxel_downsample(points, valid, voxel_size, max_out):
+    """Voxel-grid downsample via hash scatter-mean into ``max_out`` slots.
+
+    WARNING: hash collisions merge distinct voxels into fabricated
+    centroids; only use with max_out several times the occupied voxel
+    count. ICP preprocessing uses strided_subsample instead.
+    """
+    v = jnp.floor(points / voxel_size).astype(jnp.int32)
+    h = (v[:, 0] * 73856093) ^ (v[:, 1] * 19349663) ^ (v[:, 2] * 83492791)
+    slot = jnp.where(valid, jnp.abs(h) % max_out, max_out)
+    w = valid.astype(jnp.float32)
+    sums = jax.ops.segment_sum(points * w[:, None], slot,
+                               num_segments=max_out + 1)[:max_out]
+    cnts = jax.ops.segment_sum(w, slot, num_segments=max_out + 1)[:max_out]
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return centroids, cnts > 0
+
+
+def _pairwise_sqdist(a, b, b_valid):
+    """(Na,Nb) squared distances; invalid b columns -> +inf. The cross term
+    rides the MXU."""
+    cross = jnp.dot(a, b.T, precision=_HIGHEST)
+    d2 = (jnp.sum(a * a, axis=1)[:, None] - 2.0 * cross
+          + jnp.sum(b * b, axis=1)[None, :])
+    return jnp.where(b_valid[None, :], d2, jnp.inf)
+
+
+def estimate_normals(points, valid, k=10):
+    """k-NN covariance normals (replaces pcd.estimate_normals,
+    sem_pc_accum.py:310-315). Smallest eigenvector of the neighborhood
+    covariance, batched eigh."""
+    d2 = _pairwise_sqdist(points, points, valid)
+    _, idx = jax.lax.top_k(-d2, k)          # (M,k) nearest (incl. self)
+    nbrs = points[idx]                       # (M,k,3)
+    mean = nbrs.mean(axis=1, keepdims=True)
+    centered = nbrs - mean
+    cov = jnp.einsum('mki,mkj->mij', centered, centered,
+                     precision=_HIGHEST) / k
+    _, vecs = jnp.linalg.eigh(cov)           # ascending eigenvalues
+    return vecs[:, :, 0]                     # (M,3) smallest
+
+
+def _so3_hat(w):
+    return jnp.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]],
+                      [-w[1], w[0], 0.0]])
+
+
+def se3_exp(delta):
+    """SE(3) exponential: delta = [omega(3), v(3)] -> (4,4), with Taylor
+    guards near theta = 0."""
+    omega, v = delta[:3], delta[3:]
+    theta = jnp.linalg.norm(omega)
+    K = _so3_hat(omega)
+    t2 = theta * theta
+    small = theta < 1e-6
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / jnp.where(
+        small, 1.0, theta))
+    b = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0,
+                                                       t2 * theta))
+    KK = jnp.matmul(K, K, precision=_HIGHEST)
+    R = jnp.eye(3) + a * K + b * KK
+    V = jnp.eye(3) + b * K + c * KK
+    T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(
+        jnp.matmul(V, v, precision=_HIGHEST))
+    return T
+
+
+def make_register_fn(num_iters=12, damping=1e-6, trim_ratio=0.9):
+    """Build a jitted point-to-plane registration fn.
+
+    ``trim_ratio`` drops the worst (1-ratio) correspondences by NN distance
+    each iteration (trimmed ICP): frame boundaries have no true counterpart
+    and would otherwise bias the solve — Open3D hides this behind cloud
+    density the fixed-shape path cannot assume.
+
+    fn(source: ICPCloud, target: ICPCloud, T_init (4,4), max_corr_dist)
+      -> (T (4,4), rmse scalar, n_corr scalar)
+    """
+
+    def step(T, it, src, tgt, max_corr_dist):
+        p = jnp.dot(src.points, T[:3, :3].T, precision=_HIGHEST) + T[:3, 3]
+        d2 = _pairwise_sqdist(p, tgt.points, tgt.valid)
+        nn_d2 = jnp.min(d2, axis=1)
+        nn = jnp.argmin(d2, axis=1)
+        q = tgt.points[nn]
+        n = tgt.normals[nn]
+        w = (src.valid & (nn_d2 < max_corr_dist**2)).astype(jnp.float32)
+        if trim_ratio < 1.0:
+            # Annealed trim: early iterations keep every correspondence (the
+            # far ones carry the motion signal); once near-converged, drop
+            # the worst tail — true matches are then tight and the tail is
+            # frame-boundary points with no real counterpart.
+            finite_d2 = jnp.where(w > 0, nn_d2, jnp.nan)
+            cutoff = jnp.nanquantile(finite_d2, trim_ratio)
+            trim_on = it >= num_iters // 2
+            w = jnp.where(trim_on & (nn_d2 > cutoff), 0.0, w)
+        r = jnp.sum((p - q) * n, axis=1)
+        J = jnp.concatenate([jnp.cross(p, n), n], axis=1)    # (M,6)
+        Jw = J * w[:, None]
+        H = jnp.dot(Jw.T, J, precision=_HIGHEST) + damping * jnp.eye(6)
+        g = jnp.matmul(Jw.T, r, precision=_HIGHEST)
+        delta = -jnp.linalg.solve(H, g)
+        T_new = jnp.matmul(se3_exp(delta), T, precision=_HIGHEST)
+        n_corr = jnp.sum(w)
+        rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(n_corr, 1.0))
+        # Degenerate guard: too few correspondences -> hold T.
+        ok = n_corr >= 6
+        T_new = jnp.where(ok, T_new, T)
+        return T_new, (rmse, n_corr)
+
+    @jax.jit
+    def register(source: ICPCloud, target: ICPCloud, T_init, max_corr_dist):
+        body = functools.partial(step, src=source, tgt=target,
+                                 max_corr_dist=max_corr_dist)
+        T, (rmse, n_corr) = jax.lax.scan(body, T_init.astype(jnp.float32),
+                                         jnp.arange(num_iters))
+        return T, rmse[-1], n_corr[-1]
+
+    return register
+
+
+def make_preprocess_fn(voxel_size, max_out, normal_k=10):
+    """Build a jitted cloud-preprocess fn: raw padded (N,>=3) + valid ->
+    ICPCloud (strided subsample + k-NN covariance normals). ``voxel_size``
+    is kept in the signature for config compatibility but unused."""
+    del voxel_size
+
+    @jax.jit
+    def preprocess(points, valid):
+        sub, v = strided_subsample(points[:, :3], valid, max_out)
+        normals = estimate_normals(sub, v, k=normal_k)
+        return ICPCloud(points=sub, normals=normals, valid=v)
+
+    return preprocess

@@ -151,7 +151,7 @@ def sem_class_mask(sem, class_idxs):
 
 
 def bev_split_channels(cells, mask, z, intensity, rgb, sem, sem_idxs,
-                       pixel_size):
+                       pixel_size, rgb_fill=0):
     """All five channel families for one time split in one fused pass.
 
     Args:
@@ -171,7 +171,8 @@ def bev_split_channels(cells, mask, z, intensity, rgb, sem, sem_idxs,
                              [sem_idxs[name] for name in DYN_OBJ_CLASSES])
     road = sem_probmap(cells, mask, road_sel, pixel_size)
     inten = intensity_map(cells, mask & road_sel, intensity, pixel_size)
-    rgbm = rgb_median_maps(cells, mask, rgb, pixel_size) / 255.0
+    rgbm = rgb_median_maps(cells, mask, rgb, pixel_size,
+                           fill_value=rgb_fill) / 255.0
     dyn = sem_probmap(cells, mask, dyn_sel, pixel_size)
     elev = elevation_map(cells, mask, z, pixel_size)
     return {

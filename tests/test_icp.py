@@ -1,0 +1,110 @@
+"""ICP tests: recover known rigid transforms on synthetic structured clouds
+(SURVEY.md section 4), replacing Open3D registration parity."""
+import jax.numpy as jnp
+import numpy as np
+
+from pc_accumulation_lib_tpu.dataloaders.synthetic import SyntheticKitti360Stream
+from pc_accumulation_lib_tpu.ops import icp
+
+M = 2048
+
+
+def make_cloud(seed=0):
+    stream = SyntheticKitti360Stream(n_frames=2, seed=seed)
+    _, pc, _ = stream.frame(0)
+    return pc[:, :3]
+
+
+def pad(pts, cap=16384):
+    n = pts.shape[0]
+    out = np.zeros((cap, 3), np.float32)
+    out[:n] = pts[:cap]
+    valid = np.arange(cap) < min(n, cap)
+    return jnp.asarray(out), jnp.asarray(valid)
+
+
+def rigid(ang_z, ang_y, t):
+    cz, sz = np.cos(ang_z), np.sin(ang_z)
+    cy, sy = np.cos(ang_y), np.sin(ang_y)
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    T = np.eye(4)
+    T[:3, :3] = Rz @ Ry
+    T[:3, 3] = t
+    return T
+
+
+def test_voxel_downsample_centroids():
+    pts = np.array([[0.1, 0.1, 0.1], [0.3, 0.3, 0.3], [5.0, 5.0, 5.0]],
+                   np.float32)
+    p, v = pad(pts, cap=16)
+    cent, valid = icp.voxel_downsample(p, v, 1.0, 64)
+    cent = np.asarray(cent)[np.asarray(valid)]
+    assert cent.shape[0] == 2
+    assert any(np.allclose(c, [0.2, 0.2, 0.2], atol=1e-5) for c in cent)
+    assert any(np.allclose(c, [5.0, 5.0, 5.0], atol=1e-5) for c in cent)
+
+
+def test_estimate_normals_plane(rng):
+    # Points on z=0 plane -> normals ~ +-z.
+    pts = np.zeros((256, 3), np.float32)
+    pts[:, :2] = rng.uniform(-5, 5, size=(256, 2))
+    valid = jnp.ones(256, bool)
+    normals = np.asarray(icp.estimate_normals(jnp.asarray(pts), valid, k=8))
+    nz = np.abs(normals[:, 2])
+    assert np.all(nz > 0.99)
+
+
+def test_se3_exp_identity():
+    T = np.asarray(icp.se3_exp(jnp.zeros(6)))
+    np.testing.assert_allclose(T, np.eye(4), atol=1e-7)
+
+
+def test_se3_exp_rotation():
+    delta = jnp.asarray([0.0, 0.0, np.pi / 2, 0.0, 0.0, 0.0], jnp.float32)
+    T = np.asarray(icp.se3_exp(delta))
+    np.testing.assert_allclose(T[:3, :3],
+                               [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-5)
+
+
+def test_icp_recovers_transform():
+    src_pts = make_cloud()
+    T_true = rigid(0.03, 0.01, [0.8, 0.15, 0.02])
+    tgt_pts = src_pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+    pre = icp.make_preprocess_fn(voxel_size=0.4, max_out=M, normal_k=10)
+    reg = icp.make_register_fn(num_iters=15)
+    src = pre(*pad(src_pts))
+    tgt = pre(*pad(tgt_pts.astype(np.float32)))
+    T, rmse, n_corr = reg(src, tgt, jnp.eye(4, dtype=jnp.float32),
+                          jnp.float32(1e3))
+    T = np.asarray(T)
+    assert float(n_corr) > 100
+    np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.1)
+    np.testing.assert_allclose(T[:3, :3], T_true[:3, :3], atol=0.02)
+    # Transform direction convention: T maps source -> target coords, i.e.
+    # T_new_prev when (source=prev, target=new) as at
+    # kitti360_sem_pc_accum.py:119-127.
+
+
+def test_icp_identity_on_same_cloud():
+    pts = make_cloud()
+    pre = icp.make_preprocess_fn(voxel_size=0.4, max_out=M, normal_k=10)
+    reg = icp.make_register_fn(num_iters=8)
+    c = pre(*pad(pts))
+    T, _, _ = reg(c, c, jnp.eye(4, dtype=jnp.float32), jnp.float32(1e3))
+    np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-3)
+
+
+def test_icp_degenerate_empty_target():
+    pts = make_cloud()
+    pre = icp.make_preprocess_fn(voxel_size=0.4, max_out=M, normal_k=10)
+    reg = icp.make_register_fn(num_iters=4)
+    src = pre(*pad(pts))
+    empty = icp.ICPCloud(points=jnp.zeros((M, 3)),
+                         normals=jnp.zeros((M, 3)),
+                         valid=jnp.zeros((M,), bool))
+    T, _, n_corr = reg(src, empty, jnp.eye(4, dtype=jnp.float32),
+                       jnp.float32(1e3))
+    assert float(n_corr) == 0
+    np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-6)
