@@ -1,0 +1,94 @@
+"""End-to-end benchmark: accumulated-BEV samples/sec on one chip.
+
+Measures the full pipeline per sample — ResNet-50 semseg forward, point
+painting, ICP ego-motion, buffer insert, and a 256x256 5-channel x 3-split
+BEV raster — on a synthetic KITTI-360-scale stream (~131k pts/frame).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 50 — the BASELINE.json north-star target of >=50
+end-to-end BEV samples/sec/chip (the reference publishes no numbers;
+BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pc_accumulation_lib_tpu import config as cfg
+    from pc_accumulation_lib_tpu.accum.kitti360 import (
+        Kitti360SemanticPointCloudAccumulator)
+    from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+        SyntheticKitti360Stream, make_calib)
+    from pc_accumulation_lib_tpu.models.semseg import SemSegTPU
+
+    n_frames = 24
+    warmup_frames = 6
+    stream = SyntheticKitti360Stream(n_frames=n_frames, step=2.0,
+                                     lidar_range=60.0, seed=0,
+                                     points_per_frame=45_000)  # ~121k/frame
+
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                 p_velo_frame=P_cam_frame @ H_velo_cam)
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=64)
+    icp_cfg = cfg.ICPConfig(max_downsampled=8192, num_iters=16)
+    bev_params = dict(type='sem', view_size=80, pixel_size=256,
+                      max_trans_radius=0., zoom_thresh=0., do_warp=False,
+                      int_scaler=20., int_sep_scaler=20.,
+                      int_mid_threshold=0.5, height_filter=None)
+    model = SemSegTPU(seed=0)
+    accum = Kitti360SemanticPointCloudAccumulator(
+        200.0, calib, 1e3, model, cfg.DEFAULT_SEMSEG_FILTERS,
+        cfg.DEFAULT_SEM_IDXS, False, bev_params, accum_cfg=accum_cfg,
+        icp_cfg=icp_cfg, seed=0)
+
+    frames = [stream.frame(i) for i in range(n_frames)]
+
+    # Warmup: triggers all compiles (semseg, paint, ICP, insert, raster).
+    for i in range(warmup_frames):
+        accum.integrate([frames[i]])
+    _ = accum.generate_bev(present_idx=len(accum.poses) - 2, bev_num=1,
+                           gen_future=True)
+    jax.effects_barrier()
+
+    # Timed steady-state: one integrate + one BEV sample per iteration.
+    t0 = time.perf_counter()
+    n_samples = 0
+    for i in range(warmup_frames, n_frames):
+        accum.integrate([frames[i]])
+        bevs = accum.generate_bev(present_idx=len(accum.poses) - 2,
+                                  bev_num=1, gen_future=True)
+        n_samples += len(bevs)
+    jax.effects_barrier()
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = n_samples / dt
+    result = {
+        'metric': 'e2e_bev_samples_per_sec_per_chip',
+        'value': round(samples_per_sec, 3),
+        'unit': 'samples/s',
+        'vs_baseline': round(samples_per_sec / 50.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    # Silence incidental prints from the pipeline; only the JSON line goes
+    # to stdout.
+    import builtins
+    _orig_print = builtins.print
+    builtins.print = lambda *a, **k: _orig_print(*a, file=sys.stderr, **k) \
+        if not (a and isinstance(a[0], str) and a[0].startswith('{')) \
+        else _orig_print(*a, **k)
+    try:
+        main()
+    finally:
+        builtins.print = _orig_print

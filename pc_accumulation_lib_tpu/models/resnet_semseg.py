@@ -127,7 +127,8 @@ class ResNet50DilatedFCN(nn.Module):
 
 def init_params(model: ResNet50DilatedFCN, rng, img_hw=(64, 128)):
     # Param shapes are spatial-size agnostic; init small to keep the init
-    # trace cheap.
+    # trace cheap, and jit it — unjitted init dispatches hundreds of tiny
+    # ops, each a device round-trip.
     x = jnp.zeros((1, img_hw[0], img_hw[1], 3), jnp.float32)
-    variables = model.init(rng, x, train=False)
-    return variables
+    init = jax.jit(lambda rng, x: model.init(rng, x, train=False))
+    return init(rng, x)

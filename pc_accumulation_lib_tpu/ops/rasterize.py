@@ -132,6 +132,78 @@ def rgb_median_maps(cells, mask, rgb, pixel_size, fill_value=0):
     ])
 
 
+def elevation_min_raw(cells, mask, z, pixel_size):
+    """Per-cell min z with +inf for empty cells — the linear (pmin-combinable)
+    form of elevation_map."""
+    num_cells = pixel_size * pixel_size
+    seg = _masked_cells(cells, mask, num_cells)
+    zz = jnp.where(mask, z, jnp.inf).astype(jnp.float32)
+    mn = jax.ops.segment_min(zz, seg, num_segments=num_cells + 1)[:num_cells]
+    return mn.reshape(pixel_size, pixel_size)
+
+
+def rgb_histograms(cells, mask, rgb, pixel_size, num_bins=256):
+    """(3, P*P, num_bins) int32 per-cell colour histograms — the linear
+    (psum-combinable) form of the median maps."""
+    num_cells = pixel_size * pixel_size
+    hists = []
+    for c in range(3):
+        vi = jnp.clip(rgb[:, c].astype(jnp.int32), 0, num_bins - 1)
+        flat = _masked_cells(cells * num_bins + vi, mask,
+                             num_cells * num_bins)
+        h = jax.ops.segment_sum(mask.astype(jnp.int32), flat,
+                                num_segments=num_cells * num_bins + 1)[:-1]
+        hists.append(h.reshape(num_cells, num_bins))
+    return jnp.stack(hists)
+
+
+def split_accumulators(cells, mask, z, intensity, rgb, sem, sem_idxs,
+                       pixel_size):
+    """Linear per-split accumulators for one time split.
+
+    Everything here combines across point shards with a plain sum (psum)
+    except ``z_min`` which combines with min (pmin) — the basis of the
+    point-sharded multi-chip rasterizer (SURVEY.md section 5: the raster,
+    not the point set, crosses ICI).
+    """
+    road_sel = sem_class_mask(sem, [sem_idxs['road']])
+    dyn_sel = sem_class_mask(sem,
+                             [sem_idxs[name] for name in DYN_OBJ_CLASSES])
+    return {
+        'c_road': count_map(cells, mask & road_sel, pixel_size),
+        'c_not_road': count_map(cells, mask & ~road_sel, pixel_size),
+        'c_dynobj': count_map(cells, mask & dyn_sel, pixel_size),
+        'c_not_dynobj': count_map(cells, mask & ~dyn_sel, pixel_size),
+        'int_sum_road': count_map(cells, mask & road_sel, pixel_size,
+                                  weights=intensity),
+        'z_min': elevation_min_raw(cells, mask, z, pixel_size),
+        'rgb_hist': rgb_histograms(cells, mask, rgb, pixel_size),
+    }
+
+
+def finalize_split(acc, pixel_size, rgb_fill=0):
+    """Nonlinear channel readout from (possibly psum-combined) linear
+    accumulators: Dirichlet expectation, mean intensity, elevation fill,
+    histogram medians."""
+    road = dirichlet_probmap(acc['c_road'], acc['c_not_road'])
+    inten = acc['int_sum_road'] / (acc['c_road'] + 1.0)
+    dyn = dirichlet_probmap(acc['c_dynobj'], acc['c_not_dynobj'])
+    observed = (acc['c_road'] + acc['c_not_road']) > 0
+    elev = jnp.where(observed, acc['z_min'], 0.0)
+    counts = acc['rgb_hist'].sum(axis=-1)
+    rgbm = jnp.stack([
+        _hist_median(acc['rgb_hist'][c], counts[c], rgb_fill).reshape(
+            pixel_size, pixel_size) for c in range(3)
+    ]) / 255.0
+    return {
+        'road': road,
+        'intensity': inten,
+        'rgb': rgbm,
+        'dynamic': dyn,
+        'elevation': elev,
+    }
+
+
 def road_marking_transform(intensity_raster, int_scaler, int_sep_scaler,
                            int_mid_threshold):
     """Sigmoid contrast stretch for road-marking intensity
@@ -166,19 +238,6 @@ def bev_split_channels(cells, mask, z, intensity, rgb, sem, sem_idxs,
     rgb (3,P,P in [0,1]), dynamic, elevation — the per-split channel set of
     SemBEVGenerator.generate_bev (sem_bev.py:57-118).
     """
-    road_sel = sem_class_mask(sem, [sem_idxs['road']])
-    dyn_sel = sem_class_mask(sem,
-                             [sem_idxs[name] for name in DYN_OBJ_CLASSES])
-    road = sem_probmap(cells, mask, road_sel, pixel_size)
-    inten = intensity_map(cells, mask & road_sel, intensity, pixel_size)
-    rgbm = rgb_median_maps(cells, mask, rgb, pixel_size,
-                           fill_value=rgb_fill) / 255.0
-    dyn = sem_probmap(cells, mask, dyn_sel, pixel_size)
-    elev = elevation_map(cells, mask, z, pixel_size)
-    return {
-        'road': road,
-        'intensity': inten,
-        'rgb': rgbm,
-        'dynamic': dyn,
-        'elevation': elev,
-    }
+    acc = split_accumulators(cells, mask, z, intensity, rgb, sem, sem_idxs,
+                             pixel_size)
+    return finalize_split(acc, pixel_size, rgb_fill=rgb_fill)

@@ -1,0 +1,158 @@
+"""Sort-based BEV channel statistics — the fast TPU raster backend.
+
+Motivation (measured on TPU v5e): XLA scatter/gather run at ~1e8 elem/s,
+so the scatter rasterizer (ops/rasterize.py) costs ~24 scatter passes per
+BEV sample (~2s at 8.4M points). XLA sort runs at vector-unit speed, so
+group-by-cell is reformulated as sort + cumsum + boundary lookup:
+
+  * ONE multi-operand sort keyed by c2 = cell*2 + is_future (sentinel for
+    masked points) with z as secondary key and [intensity*road, road_flag,
+    dynobj_flag] payloads gives every count/sum/min channel:
+      - segment boundaries: one searchsorted (method='sort');
+      - counts per (cell,split): boundary diffs (pure vector math);
+      - weighted sums: cumsum + 2 gathers of 128K;
+      - min-z elevation: z at segment start (z is the secondary sort key);
+      - 'full' split = present + future (reshape-and-reduce, free).
+  * per-channel median: single-key sorts of packed (c2*256 + value) —
+    order statistics read at start + (n-1)//2 / start + n//2, which is
+    EXACTLY np.median for the integer colour values (sem_bev.py:665-667).
+    The same boundary table serves all sorts (identical key multisets).
+
+Outputs match the scatter backend exactly for counts/probmaps/medians/
+elevation; intensity sums differ only by f32 summation order (tested).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pc_accumulation_lib_tpu.ops import rasterize as ras
+
+
+def _boundaries(sorted_c2, num_groups):
+    """ends[g] = #elements with key <= g; starts[g] = ends[g-1]."""
+    q = jnp.arange(1, num_groups + 1, dtype=sorted_c2.dtype)
+    ends = jnp.searchsorted(sorted_c2, q, method='sort').astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    return starts, ends
+
+
+def _range_sums(weights_sorted, starts, ends):
+    """Per-group sums from cumsum + boundary gathers."""
+    c = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                         jnp.cumsum(weights_sorted.astype(jnp.float32))])
+    return c[ends] - c[starts]
+
+
+def _median_from_sorted(packed_sorted, starts, lens, fill_value, base=256):
+    """np.median of each group's integer values from a packed sorted array.
+
+    packed_sorted: sort of (group * base + value); group segment at
+    [starts, starts+lens). Returns (G,) medians; empty groups get fill.
+    """
+    n = packed_sorted.shape[0]
+    p1 = jnp.clip(starts + (lens - 1) // 2, 0, n - 1)
+    p2 = jnp.clip(starts + lens // 2, 0, n - 1)
+    v1 = (packed_sorted[p1] % base).astype(jnp.float32)
+    v2 = (packed_sorted[p2] % base).astype(jnp.float32)
+    med = 0.5 * (v1 + v2)
+    return jnp.where(lens > 0, med, jnp.float32(fill_value))
+
+
+def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
+                       sem_idxs, pixel_size, gen_future, rgb_fill=0):
+    """All channel families for all time splits via the sort formulation.
+
+    Args:
+      cells: (N,) int32 raster cell ids in [0, P*P).
+      static_m: (N,) bool — valid & in-window & in-view & static.
+      is_future: (N,) bool split membership (ignored when not gen_future).
+      z/intensity: (N,) float point features; rgb: (N,3) in [0,255].
+      sem: (N,) semantic class ids.
+
+    Returns {road,intensity(raw),rgb,dynamic,elevation} x
+    {present[,future,full]} of (P,P)/(3,P,P) float32 maps, identical to the
+    scatter backend (ras.split_accumulators + finalize_split).
+    """
+    P = pixel_size
+    n_cells = P * P
+    nsplit = 2 if gen_future else 1
+    sent = n_cells * nsplit
+    if gen_future:
+        isf = is_future.astype(jnp.int32)
+    else:
+        isf = jnp.zeros_like(cells)
+    c2 = jnp.where(static_m, cells * nsplit + isf, sent)
+
+    road_f = ras.sem_class_mask(sem, [sem_idxs['road']]).astype(jnp.float32)
+    from pc_accumulation_lib_tpu.config import DYN_OBJ_CLASSES
+    dyn_f = ras.sem_class_mask(
+        sem, [sem_idxs[nm] for nm in DYN_OBJ_CLASSES]).astype(jnp.float32)
+    int_road = intensity.astype(jnp.float32) * road_f
+
+    sorted_ops = jax.lax.sort(
+        (c2, z.astype(jnp.float32), int_road, road_f, dyn_f), num_keys=2)
+    s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
+
+    starts, ends = _boundaries(s_c2, sent)
+    lens = (ends - starts).astype(jnp.float32)          # (sent,)
+    road_c = _range_sums(s_road, starts, ends)
+    dyn_c = _range_sums(s_dyn, starts, ends)
+    int_s = _range_sums(s_int, starts, ends)
+    n_total = s_c2.shape[0]
+    zmin = s_z[jnp.clip(starts, 0, n_total - 1)]
+    zmin = jnp.where(lens > 0, zmin, jnp.inf)
+
+    def per_split(vec):
+        """(sent,) -> dict split -> (P*P,)."""
+        if not gen_future:
+            return {'present': vec}
+        m = vec.reshape(n_cells, 2)
+        return {'present': m[:, 0], 'future': m[:, 1]}
+
+    lens_s, road_s = per_split(lens), per_split(road_c)
+    dyn_s, int_ss = per_split(dyn_c), per_split(int_s)
+    zmin_s = per_split(zmin)
+    if gen_future:
+        for d, red in ((lens_s, jnp.add), (road_s, jnp.add),
+                       (dyn_s, jnp.add), (int_ss, jnp.add),
+                       (zmin_s, jnp.minimum)):
+            d['full'] = red(d['present'], d['future'])
+
+    # Colour medians: packed single-key sorts; boundary table reused.
+    med = {s: [] for s in lens_s}
+    starts2 = starts.reshape(n_cells, nsplit)
+    ends2 = ends.reshape(n_cells, nsplit)
+    for ch in range(3):
+        val = jnp.clip(rgb[:, ch].astype(jnp.int32), 0, 255)
+        pf_sorted = jnp.sort(jnp.where(static_m, c2 * 256 + val,
+                                       sent * 256))
+        med['present'].append(
+            _median_from_sorted(pf_sorted, starts2[:, 0],
+                                (ends2[:, 0] - starts2[:, 0]), rgb_fill))
+        if gen_future:
+            med['future'].append(
+                _median_from_sorted(pf_sorted, starts2[:, 1],
+                                    (ends2[:, 1] - starts2[:, 1]),
+                                    rgb_fill))
+            full_sorted = jnp.sort(jnp.where(static_m, cells * 256 + val,
+                                             n_cells * 256))
+            med['full'].append(
+                _median_from_sorted(full_sorted, starts2[:, 0],
+                                    (ends2[:, 1] - starts2[:, 0]),
+                                    rgb_fill))
+
+    out = {}
+    for s in lens_s:
+        cnt = lens_s[s]
+        road = (road_s[s] + 1.0) / (cnt + 2.0)
+        inten = int_ss[s] / (road_s[s] + 1.0)
+        dyn = (dyn_s[s] + 1.0) / (cnt + 2.0)
+        elev = jnp.where(cnt > 0, zmin_s[s], 0.0)
+        rgbm = jnp.stack([m.reshape(P, P) for m in med[s]]) / 255.0
+        out[f'road_{s}'] = road.reshape(P, P)
+        out[f'intensity_{s}'] = inten.reshape(P, P)
+        out[f'rgb_{s}'] = rgbm
+        out[f'dynamic_{s}'] = dyn.reshape(P, P)
+        out[f'elevation_{s}'] = elev.reshape(P, P)
+    return out

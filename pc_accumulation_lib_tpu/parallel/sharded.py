@@ -1,0 +1,122 @@
+"""Point-sharded multi-chip BEV rasterization.
+
+TPU-native analogue of the reference's "long context" problem: the
+accumulated cloud (~10^7 points over a 200 m horizon) is the big axis.
+Design (SURVEY.md section 5): shard the flat point buffer across devices on
+the 'points' mesh axis, rasterize per-shard partial accumulators locally,
+then combine the (P,P) partials over ICI — psum for counts/sums/histograms,
+pmin for elevation. Only rasters cross the interconnect, never points.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.bev.core import RasterParams
+from pc_accumulation_lib_tpu.ops import geometry as geo
+from pc_accumulation_lib_tpu.ops import rasterize as ras
+from pc_accumulation_lib_tpu.ops import warp as warp_ops
+
+
+def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
+                           int_scaler, int_sep_scaler, int_mid_threshold,
+                           rgb_fill=0, points_axis: str = 'points'):
+    """Build a jitted shard_map raster over ``mesh``.
+
+    fn(points (M,10), valid (M,), pt_frame_ids (M,), inst_dyn (K,),
+       params: RasterParams, gen_future: static bool) -> replicated maps
+    dict — same contract as bev/core.make_raster_fn, M divisible by the
+    points-axis size.
+    """
+    Px = pixel_size
+    sem_idxs = dict(sem_idxs)
+    all_axes = tuple(mesh.axis_names)
+
+    def shard_body(points, valid, pt_frame_ids, inst_dyn, params,
+                   gen_future):
+        # --- local (per-shard) pipeline: identical math to bev/core ---
+        xyz = points[:, :3]
+        ref = geo.homo_transform(params.T_ref_world, xyz) - params.bev_coords
+        t = geo.geometric_transform(ref, params.rot_ang, params.trans_dx,
+                                    params.trans_dy)
+        aug_view = params.zoom * view_size
+        in_window = ((pt_frame_ids >= params.window_min)
+                     & (pt_frame_ids <= params.window_max))
+        m = valid & in_window & geo.crop_view_mask(t, aug_view)
+        m &= t[:, 2] < params.height_thresh
+        grid = geo.pos2grid(t[:, :2], aug_view, Px)
+        cells = jnp.clip(geo.grid_cell_index(grid[:, 0], grid[:, 1], Px), 0,
+                         Px * Px - 1)
+        inst = jnp.clip(points[:, cfg.PT_INST].astype(jnp.int32), 0,
+                        inst_dyn.shape[0] - 1)
+        dyn_eff = jnp.maximum(points[:, cfg.PT_DYN], inst_dyn[inst])
+        static_m = m & (dyn_eff != 1.0)
+        present_m = pt_frame_ids < params.present_frame
+        z, inten = t[:, 2], points[:, cfg.PT_I]
+        rgb, sem = points[:, cfg.PT_R:cfg.PT_B + 1], points[:, cfg.PT_SEM]
+
+        splits = {'present': static_m & present_m}
+        if gen_future:
+            splits['future'] = static_m & ~present_m
+            splits['full'] = static_m
+
+        out = {}
+        stack, names = [], []
+        for name, split_mask in splits.items():
+            acc = ras.split_accumulators(cells, split_mask, z, inten, rgb,
+                                         sem, sem_idxs, Px)
+            # --- combine partial accumulators over ICI ---
+            acc = {
+                k: (jax.lax.pmin(v, points_axis) if k == 'z_min'
+                    else jax.lax.psum(v, points_axis))
+                for k, v in acc.items()
+            }
+            ch = ras.finalize_split(acc, Px, rgb_fill=rgb_fill)
+            stack += [ch['road'], ch['intensity'], ch['rgb'][0],
+                      ch['rgb'][1], ch['rgb'][2], ch['dynamic'],
+                      ch['elevation']]
+            names.append(name)
+        maps = warp_ops.warp_dense_maps(jnp.stack(stack), params.warp_a1,
+                                        params.warp_a2, params.warp_b1,
+                                        params.warp_b2)
+        for si, name in enumerate(names):
+            base = si * 7
+            out[f'road_{name}'] = maps[base]
+            out[f'intensity_{name}'] = ras.road_marking_transform(
+                maps[base + 1], int_scaler, int_sep_scaler,
+                int_mid_threshold)
+            out[f'rgb_{name}'] = maps[base + 2:base + 5]
+            out[f'dynamic_{name}'] = maps[base + 5]
+            out[f'elevation_{name}'] = maps[base + 6]
+        return out
+
+    pt_spec = P(points_axis)
+    rep_spec = P()
+    params_specs = RasterParams(*([rep_spec] * len(RasterParams._fields)))
+
+    def build(gen_future):
+        body = functools.partial(shard_body, gen_future=gen_future)
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(pt_spec, pt_spec, pt_spec, rep_spec, params_specs),
+            out_specs=rep_spec)
+
+    fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
+
+    def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
+        return fns[bool(gen_future)](points, valid, pt_frame_ids, inst_dyn,
+                                     params)
+
+    return raster
+
+
+def shard_points_to_mesh(mesh: Mesh, points, valid, pt_frame_ids,
+                         points_axis: str = 'points'):
+    """Place flat point arrays with the points axis sharded over the mesh."""
+    s = NamedSharding(mesh, P(points_axis))
+    return (jax.device_put(points, s), jax.device_put(valid, s),
+            jax.device_put(pt_frame_ids, s))

@@ -1,0 +1,89 @@
+"""Multi-device tests on the virtual 8-CPU mesh: point-sharded raster
+equivalence vs the single-device path, mesh helpers, manifest resume."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pc_accumulation_lib_tpu.bev import core
+from pc_accumulation_lib_tpu.parallel import manifest as mf
+from pc_accumulation_lib_tpu.parallel import mesh as mesh_mod
+from pc_accumulation_lib_tpu.parallel import sharded
+
+SEM_IDXS = {'road': 0, 'car': 13, 'truck': 14, 'bus': 15, 'motorcycle': 17}
+P = 32
+M = 4096
+
+
+def make_points(rng):
+    pts = np.zeros((M, 10), np.float32)
+    pts[:, 0:2] = rng.uniform(-20, 20, size=(M, 2))
+    pts[:, 2] = rng.uniform(-2, 3, size=M)
+    pts[:, 3] = rng.uniform(0, 1, size=M)
+    pts[:, 4:7] = rng.integers(0, 256, size=(M, 3))
+    pts[:, 7] = rng.choice([0, 1, 2, 13, 14], size=M)
+    pts[:, 9] = rng.choice([0.0, 1.0], size=M, p=[0.9, 0.1])
+    valid = rng.uniform(size=M) > 0.1
+    fids = rng.integers(0, 10, size=M).astype(np.int32)
+    return pts, valid, fids
+
+
+def test_sharded_raster_matches_single_device(rng):
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=5)
+
+    single = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5)
+    maps_single = single(jnp.asarray(pts), jnp.asarray(valid),
+                         jnp.asarray(fids), jnp.zeros(4, jnp.float32),
+                         params, True)
+
+    shard_fn = sharded.make_sharded_raster_fn(mesh, 40.0, P, SEM_IDXS, 20.,
+                                              20., 0.5)
+    sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
+                                              jnp.asarray(valid),
+                                              jnp.asarray(fids))
+    maps_shard = shard_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params,
+                          True)
+
+    assert set(maps_single) == set(maps_shard)
+    for k in maps_single:
+        # intensity differs by f32 summation order (sort vs scatter+psum).
+        atol = 1e-3 if k.startswith('intensity') else 1e-5
+        np.testing.assert_allclose(np.asarray(maps_shard[k]),
+                                   np.asarray(maps_single[k]), atol=atol,
+                                   err_msg=k)
+
+
+def test_sharded_raster_present_only(rng):
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=10)
+    shard_fn = sharded.make_sharded_raster_fn(mesh, 40.0, P, SEM_IDXS, 20.,
+                                              20., 0.5)
+    maps = shard_fn(jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(fids),
+                    jnp.zeros(4, jnp.float32), params, False)
+    assert 'road_present' in maps and 'road_future' not in maps
+
+
+def test_make_mesh_shapes():
+    mesh = mesh_mod.make_mesh()
+    assert mesh.devices.shape == (1, 8)
+    mesh2 = mesh_mod.make_mesh((2, 4), ('data', 'points'))
+    assert mesh2.shape == {'data': 2, 'points': 4}
+    mesh3 = mesh_mod.make_mesh((8,), ('data',))
+    assert mesh3.shape == {'data': 8}
+
+
+def test_manifest_resume(tmp_path):
+    path = str(tmp_path / 'manifest.jsonl')
+    m = mf.CompletionManifest(path)
+    units = [f'scene{i}' for i in range(10)]
+    mine = mf.shard_units(units, 0, 2, m)
+    assert mine == units[0::2]
+    m.mark_done('scene0', bevs=7)
+    m.mark_done('scene2', bevs=3)
+    # Reload from disk: completed units are skipped.
+    m2 = mf.CompletionManifest(path)
+    assert m2.is_done('scene0') and m2.is_done('scene2')
+    assert mf.shard_units(units, 0, 2, m2) == ['scene4', 'scene6', 'scene8']
+    assert m2.stats()['done'] == 2
