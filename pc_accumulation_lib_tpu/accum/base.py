@@ -92,7 +92,7 @@ class SemanticPointCloudAccumulator:
 
         # Device buffer state.
         a = self.accum_cfg
-        self.state = buffer.init_state(a.max_frames, a.max_points_per_frame,
+        self.state = buffer.init_state(a.max_frames, a.painted_cap,
                                        a.max_instances)
         # Host bookkeeping (in-horizon window only, trimmed on eviction).
         self.frame_count = 0          # next global frame id
@@ -116,15 +116,18 @@ class SemanticPointCloudAccumulator:
     # Window / pose bookkeeping (sem_pc_accum.py:156-260)
     # ------------------------------------------------------------------
     def _append_frame(self, painted, valid_out, T_world_velo, rgb, semseg):
-        fid = self.frame_count
+        self.state = buffer.insert_frame(self.state, painted, valid_out,
+                                         jnp.int32(self.frame_count))
+        self._append_frame_meta(T_world_velo, rgb, semseg)
+
+    def _append_frame_meta(self, T_world_velo, rgb, semseg):
+        """Host bookkeeping for a frame already inserted on device."""
         if len(self.poses) >= self.accum_cfg.max_frames:
             raise RuntimeError(
                 f'Point buffer frame overflow: window of {len(self.poses)} '
                 f'frames exceeds max_frames={self.accum_cfg.max_frames}; '
                 'raise AccumConfig.max_frames (points must not be silently '
                 'dropped).')
-        self.state = buffer.insert_frame(self.state, painted, valid_out,
-                                         jnp.int32(fid))
         self.frame_count += 1
         self.T_world_velo.append(np.asarray(T_world_velo, np.float64))
         pose = list(np.asarray(T_world_velo, np.float64)[:3, 3])

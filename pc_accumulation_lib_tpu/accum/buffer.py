@@ -72,6 +72,25 @@ def set_instance_dyn(state: BufferState, inst_idxs: jax.Array,
         inst_dyn=state.inst_dyn.at[inst_idxs].max(dyn_flags))
 
 
+def compact_rows(painted, valid, cap_out):
+    """Stable-sort valid rows to the front and truncate to ``cap_out``.
+
+    Camera painting keeps ~20-25% of a 360-degree sweep, so compaction
+    shrinks the buffer the per-sample raster sweeps by ~4x. Row order
+    within the valid set is preserved (stable), though no output statistic
+    depends on it. Returns (painted (cap_out, D), valid (cap_out,),
+    n_valid scalar) — callers must check n_valid <= cap_out (overflow must
+    not silently drop points).
+    """
+    key = (~valid).astype(jnp.int32)
+    cols = tuple(painted[:, i] for i in range(painted.shape[1]))
+    sorted_ops = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
+    out = jnp.stack(sorted_ops[1:], axis=1)[:cap_out]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    valid_out = jnp.arange(cap_out) < n_valid
+    return out, valid_out, n_valid
+
+
 @functools.partial(jax.jit, static_argnames=('filters',))
 def paint_frame_camera(pc, valid, rgb_img, semseg, P_velo_frame,
                        T_world_velo, filters):

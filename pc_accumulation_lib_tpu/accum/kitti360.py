@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,72 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._icp_reg = icp_ops.make_register_fn(self.icp_cfg.num_iters)
         self._icp_prev_cloud = None
         self._T_world_velo_last = np.eye(4)
+        self._fused = self._build_fused_step()
+
+    def _build_fused_step(self):
+        """One jitted device call per frame: ICP preprocess + register +
+        pose-chain compose + semseg + paint + compact + ring insert.
+
+        The reference's per-frame path crosses the host/device boundary
+        once per stage (ONNX session, Open3D calls, numpy transforms);
+        fusing matters doubly here because each dispatch-with-fetch costs
+        ~33 ms over the remote-TPU tunnel. Returns a packed (34,) array
+        [T_world_velo(16), T_new_prev(16), n_painted, icp_n_corr] so the
+        host needs exactly ONE fetch per frame.
+        """
+        cap = self.accum_cfg.painted_cap
+        filters = self.semseg_filters
+        model = self.semseg_model
+        P_velo_frame = jnp.asarray(self.P_velo_frame)
+        max_corr = jnp.float32(self.icp_cfg.max_corr_dist)
+
+        def common(state, prev_cloud, T_world_prev, pc_pad, valid, frame_id,
+                   first, painted_fn):
+            new_cloud = self._icp_pre(pc_pad[:, :3], valid)
+            if first:
+                T_new_prev = jnp.eye(4, dtype=jnp.float32)
+                n_corr = jnp.float32(0)
+            else:
+                T_new_prev, _, n_corr = self._icp_reg(
+                    prev_cloud, new_cloud,
+                    jnp.eye(4, dtype=jnp.float32), max_corr)
+            T_world = jnp.matmul(
+                T_world_prev, jnp.linalg.inv(T_new_prev.astype(jnp.float32)),
+                precision=jax.lax.Precision.HIGHEST)
+            painted, valid_out = painted_fn(T_world)
+            painted, valid_out, n_valid = buffer.compact_rows(
+                painted, valid_out, cap)
+            state = buffer.insert_frame(state, painted, valid_out, frame_id)
+            packed = jnp.concatenate([
+                T_world.reshape(-1), T_new_prev.reshape(-1),
+                jnp.stack([n_valid.astype(jnp.float32), n_corr])])
+            return state, new_cloud, packed
+
+        def camera_step(state, prev_cloud, T_world_prev, variables, pc_pad,
+                        valid, rgb_img, frame_id, first):
+            def painted_fn(T_world):
+                logits = model.model.apply(variables, rgb_img[None],
+                                           train=False)
+                semseg = jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
+                return buffer.paint_frame_camera(
+                    pc_pad, valid, rgb_img, semseg, P_velo_frame, T_world,
+                    filters)
+            return common(state, prev_cloud, T_world_prev, pc_pad, valid,
+                          frame_id, first, painted_fn)
+
+        def gt_step(state, prev_cloud, T_world_prev, pc_pad, valid, sem_gt,
+                    frame_id, first):
+            def painted_fn(T_world):
+                return buffer.paint_frame_gt(pc_pad, valid, sem_gt, T_world,
+                                             filters)
+            return common(state, prev_cloud, T_world_prev, pc_pad, valid,
+                          frame_id, first, painted_fn)
+
+        if self.use_gt_sem or model is None:
+            return jax.jit(gt_step, static_argnames=('first',),
+                           donate_argnums=(0,))
+        return jax.jit(camera_step, static_argnames=('first',),
+                       donate_argnums=(0,))
 
     def _pad_pc(self, pc: np.ndarray):
         n_cap = self.accum_cfg.max_points_per_frame
@@ -85,40 +152,54 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
     def obs2sem_vec_space(self, rgb, pc: np.ndarray,
                           sem_gt: Optional[np.ndarray] = None):
         """Paint one observation into the world-frame buffer
-        (kitti360_sem_pc_accum.py:90-164)."""
+        (kitti360_sem_pc_accum.py:90-164) via the fused device step.
+
+        Ego-motion: point-to-plane ICP vs previous frame
+        (kitti360_sem_pc_accum.py:114-127). T_new_prev maps prev-ego ->
+        new-ego coords; world chain T_w_k = T_w_{k-1} @ inv(T_new_prev).
+        """
         pc = np.asarray(pc, np.float32)
         pc_pad, valid = self._pad_pc(pc)
+        first = self._icp_prev_cloud is None
+        prev_cloud = self._icp_prev_cloud
+        if first:
+            # Placeholder with matching shapes for the jitted signature.
+            prev_cloud = icp_ops.ICPCloud(
+                points=jnp.zeros((self.icp_cfg.max_downsampled, 3)),
+                normals=jnp.zeros((self.icp_cfg.max_downsampled, 3)),
+                valid=jnp.zeros((self.icp_cfg.max_downsampled,), bool))
+        T_world_prev = jnp.asarray(self._T_world_velo_last, jnp.float32)
+        fid = jnp.int32(self.frame_count)
 
-        # Ego-motion: point-to-plane ICP vs previous frame
-        # (kitti360_sem_pc_accum.py:114-127). T_new_prev maps prev-ego ->
-        # new-ego coords; the world chain is T_w_k = T_w_{k-1} @ inv(T_new_prev).
-        new_cloud = self._icp_pre(pc_pad[:, :3], valid)
-        if self._icp_prev_cloud is None:
-            T_new_prev = np.eye(4)
-        else:
-            T, _, _ = self._icp_reg(self._icp_prev_cloud, new_cloud,
-                                    jnp.eye(4, dtype=jnp.float32),
-                                    jnp.float32(self.icp_cfg.max_corr_dist))
-            T_new_prev = np.asarray(T, np.float64)
-        self._icp_prev_cloud = new_cloud
-        T_world_velo = self._T_world_velo_last @ np.linalg.inv(T_new_prev)
-        self._T_world_velo_last = T_world_velo
-        T_dev = jnp.asarray(T_world_velo, jnp.float32)
-
-        if sem_gt is None:
-            semseg = np.asarray(self.semseg_model(rgb))
-            rgb_arr = jnp.asarray(np.asarray(rgb, np.float32)[..., :3])
-            painted, valid_out = buffer.paint_frame_camera(
-                pc_pad, valid, rgb_arr, jnp.asarray(semseg, jnp.int32),
-                jnp.asarray(self.P_velo_frame), T_dev, self.semseg_filters)
-        else:
+        if self.use_gt_sem or self.semseg_model is None:
             semseg = None
             sem_flat = np.zeros(self.accum_cfg.max_points_per_frame,
                                 np.float32)
             sem_flat[:pc.shape[0]] = np.asarray(sem_gt).reshape(-1)
-            painted, valid_out = buffer.paint_frame_gt(
-                pc_pad, valid, jnp.asarray(sem_flat), T_dev,
-                self.semseg_filters)
+            state, new_cloud, packed = self._fused(
+                self.state, prev_cloud, T_world_prev, pc_pad, valid,
+                jnp.asarray(sem_flat), fid, first)
+        else:
+            rgb_arr = jnp.asarray(
+                np.asarray(rgb, np.float32)[..., :3])
+            state, new_cloud, packed = self._fused(
+                self.state, prev_cloud, T_world_prev,
+                self.semseg_model.variables, pc_pad, valid, rgb_arr, fid,
+                first)
+            semseg = None  # class map stays on device; viz refetches lazily
 
-        self._append_frame(painted, valid_out, T_world_velo, rgb, semseg)
-        return painted, self.poses[-1], semseg, T_new_prev
+        self.state = state
+        self._icp_prev_cloud = new_cloud
+        packed = np.asarray(packed, np.float64)  # the ONE host fetch
+        T_world_velo = packed[:16].reshape(4, 4)
+        T_new_prev = packed[16:32].reshape(4, 4)
+        n_painted = int(packed[32])
+        if n_painted > self.accum_cfg.painted_cap:
+            raise RuntimeError(
+                f'Painted-point overflow: frame produced {n_painted} >= '
+                f'cap {self.accum_cfg.painted_cap}; raise '
+                'AccumConfig.max_painted_points_per_frame (points must not '
+                'be silently dropped).')
+        self._T_world_velo_last = T_world_velo
+        self._append_frame_meta(T_world_velo, rgb, semseg)
+        return None, self.poses[-1], semseg, T_new_prev

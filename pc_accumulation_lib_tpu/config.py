@@ -84,6 +84,15 @@ class AccumConfig:
     max_points_per_frame: int = 131072   # >= KITTI velodyne ~120k pts/frame
     max_frames: int = 256                # > horizon_dist / min frame spacing
     max_instances: int = 4096            # tracked-object dyn lookup table
+    # Painted points kept per frame after semantic filtering + camera-FOV
+    # compaction (camera painting keeps only ~20-25% of a 360-degree
+    # sweep); sizes the accumulation buffer the raster sweeps. None =
+    # max_points_per_frame (safe for the GT-semantics path).
+    max_painted_points_per_frame: Optional[int] = None
+
+    @property
+    def painted_cap(self) -> int:
+        return self.max_painted_points_per_frame or self.max_points_per_frame
 
 
 @dataclasses.dataclass(frozen=True)
