@@ -12,10 +12,21 @@ BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+import jax
+
+# Persistent XLA compile cache: sorts/convs compile slowly on first run.
+# Must go through jax.config (the environment's sitecustomize imports jax
+# before user code, so env vars are locked in by then).
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 
 def main():
@@ -38,7 +49,8 @@ def main():
     H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
     calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
                  p_velo_frame=P_cam_frame @ H_velo_cam)
-    accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=64)
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=64,
+                                max_painted_points_per_frame=65536)
     icp_cfg = cfg.ICPConfig(max_downsampled=8192, num_iters=16)
     bev_params = dict(type='sem', view_size=80, pixel_size=256,
                       max_trans_radius=0., zoom_thresh=0., do_warp=False,

@@ -160,9 +160,9 @@ class SemBEVGenerator:
                 warp_a1=jnp.float32(w['a1']), warp_a2=jnp.float32(w['a2']),
                 warp_b1=jnp.float32(w['b1']), warp_b2=jnp.float32(w['b2']),
                 height_thresh=jnp.float32(hf))
-            maps = self._raster(points, valid, pt_frame_ids, inst_dyn,
-                                params, gen_future)
-            bev = self._assemble(maps, trajs, rot_ang, dx, dy,
+            stack = self._raster(points, valid, pt_frame_ids, inst_dyn,
+                                 params, gen_future)
+            bev = self._assemble(np.asarray(stack), trajs, rot_ang, dx, dy,
                                  zoom * self.view_size, w, gen_future)
             bevs.append(bev)
         return bevs
@@ -182,16 +182,17 @@ class SemBEVGenerator:
                                       w['j_warp'], self.pixel_size)
         return out
 
-    def _assemble(self, maps, trajs, rot_ang, dx, dy, aug_view, w,
+    def _assemble(self, stack, trajs, rot_ang, dx, dy, aug_view, w,
                   gen_future) -> Dict:
         """Build the output BEV dict with the reference's exact key set and
-        float16 down-cast (sem_bev.py:204-257)."""
+        float16 down-cast (sem_bev.py:204-257). ``stack`` is the raster
+        fn's packed float16 channel stack, fetched in ONE transfer."""
+        maps = core.unpack_maps(np.asarray(stack), gen_future)
         bev = {}
         splits = ('present', 'future', 'full') if gen_future else ('present',)
         for s in splits:
             for k in _MAP_KEYS:
-                bev[f'{k}_{s}'] = np.asarray(maps[f'{k}_{s}']).astype(
-                    np.float16)
+                bev[f'{k}_{s}'] = np.ascontiguousarray(maps[f'{k}_{s}'])
         for s in splits:
             ego = trajs.get(f'ego_traj_{s}')
             others = trajs.get(f'other_trajs_{s}') or []
@@ -224,10 +225,11 @@ class SemBEVGenerator:
             warp_a1=jnp.float32(w['a1']), warp_a2=jnp.float32(w['a2']),
             warp_b1=jnp.float32(w['b1']), warp_b2=jnp.float32(w['b2']))
         inst_dyn = jnp.zeros((1,), jnp.float32)
-        maps = self._raster(points, valid, fids, inst_dyn, params,
-                            gen_future)
-        return self._assemble(maps, trajs, rot_ang, trans_dx, trans_dy,
-                              zoom_scalar * self.view_size, w, gen_future)
+        stack = self._raster(points, valid, fids, inst_dyn, params,
+                             gen_future)
+        return self._assemble(np.asarray(stack), trajs, rot_ang, trans_dx,
+                              trans_dy, zoom_scalar * self.view_size, w,
+                              gen_future)
 
     def generate_rand_aug(self, pcs: Dict, trajs: Dict,
                           do_warping: bool = True) -> Dict:

@@ -12,14 +12,13 @@ _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.join(os.path.dirname(__file__), '..',
-                                   '.jax_cache'))
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
-
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '..',
+                               '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 assert jax.default_backend() == 'cpu', jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 

@@ -33,9 +33,10 @@ def test_sharded_raster_matches_single_device(rng):
     params = core.identity_params(window=(0, 9), present_frame=5)
 
     single = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5)
-    maps_single = single(jnp.asarray(pts), jnp.asarray(valid),
-                         jnp.asarray(fids), jnp.zeros(4, jnp.float32),
-                         params, True)
+    maps_single = core.unpack_maps(
+        np.asarray(single(jnp.asarray(pts), jnp.asarray(valid),
+                          jnp.asarray(fids), jnp.zeros(4, jnp.float32),
+                          params, True)), True)
 
     shard_fn = sharded.make_sharded_raster_fn(mesh, 40.0, P, SEM_IDXS, 20.,
                                               20., 0.5)
@@ -47,11 +48,11 @@ def test_sharded_raster_matches_single_device(rng):
 
     assert set(maps_single) == set(maps_shard)
     for k in maps_single:
-        # intensity differs by f32 summation order (sort vs scatter+psum).
-        atol = 1e-3 if k.startswith('intensity') else 1e-5
-        np.testing.assert_allclose(np.asarray(maps_shard[k]),
-                                   np.asarray(maps_single[k]), atol=atol,
-                                   err_msg=k)
+        # f16 single-path output + f32 summation-order differences.
+        atol = 2e-3 if k.startswith('intensity') else 1e-3
+        np.testing.assert_allclose(np.asarray(maps_shard[k], np.float32),
+                                   np.asarray(maps_single[k], np.float32),
+                                   atol=atol, err_msg=k)
 
 
 def test_sharded_raster_present_only(rng):

@@ -36,13 +36,16 @@ def _compare(data, gen_future, **param_kw):
         b: core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5, backend=b)
         for b in ('scatter', 'sort')
     }
-    outs = {b: f(*data, params, gen_future) for b, f in fns.items()}
+    outs = {b: core.unpack_maps(np.asarray(f(*data, params, gen_future)),
+                                gen_future) for b, f in fns.items()}
     assert set(outs['scatter']) == set(outs['sort'])
     for k in outs['scatter']:
-        atol = 2e-4 if k.startswith('intensity') else 1e-5
-        np.testing.assert_allclose(np.asarray(outs['sort'][k]),
-                                   np.asarray(outs['scatter'][k]),
-                                   atol=atol, err_msg=k)
+        # f16 output quantum + f32 summation-order differences on intensity.
+        atol = 2e-3 if k.startswith('intensity') else 1e-3
+        np.testing.assert_allclose(
+            np.asarray(outs['sort'][k], np.float32),
+            np.asarray(outs['scatter'][k], np.float32), atol=atol,
+            err_msg=k)
 
 
 def test_sort_matches_scatter_future(data):
@@ -62,8 +65,11 @@ def test_sort_all_points_masked(data):
     params = core.identity_params(window=(100, 100), present_frame=100)
     f = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5,
                             backend='sort')
-    out = f(pts, valid, fids, inst_dyn, params, True)
+    out = core.unpack_maps(np.asarray(f(pts, valid, fids, inst_dyn, params,
+                                        True)), True)
     # Empty input: Dirichlet prior 0.5 everywhere, elevation/rgb fill 0.
-    np.testing.assert_allclose(np.asarray(out['road_full']), 0.5)
-    np.testing.assert_allclose(np.asarray(out['elevation_full']), 0.0)
-    np.testing.assert_allclose(np.asarray(out['rgb_full']), 0.0)
+    np.testing.assert_allclose(np.asarray(out['road_full'], np.float32),
+                               0.5)
+    np.testing.assert_allclose(np.asarray(out['elevation_full'],
+                                          np.float32), 0.0)
+    np.testing.assert_allclose(np.asarray(out['rgb_full'], np.float32), 0.0)
