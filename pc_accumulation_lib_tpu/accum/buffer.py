@@ -127,6 +127,50 @@ def paint_frame_camera(pc, valid, rgb_img, semseg, P_velo_frame,
 
 
 @functools.partial(jax.jit, static_argnames=('filters',))
+def paint_frame_multicam(pc, valid, cam_idx, imgs, semsegs, T_world_ego,
+                         inst_remap, filters):
+    """Paint pre-projected multi-camera points (NuScenes layout).
+
+    Counterpart of the oracle painting loop
+    (nuscenes_oracle_sem_pc_accum.py:454-501): nearest-pixel RGB+semantic
+    gather per camera (pts_feat_from_img 'nearest',
+    nuscenes_utils.py:212-214), invalid/class filtering, intensity /255,
+    ego->world transform — all six cameras in one gather instead of a
+    Python loop.
+
+    Args:
+      pc: (N,7) [x,y,z ego-frame, intensity, u, v, frame_inst_idx(-1=none)].
+      valid: (N,) padding mask.
+      cam_idx: (N,) int32 camera index per point, -1 = no projection.
+      imgs: (C,H,W,3) float32 camera images.
+      semsegs: (C,H,W) int32 class maps.
+      T_world_ego: (4,4) ego->world.
+      inst_remap: (K,) int32 mapping frame_inst_idx+1 -> global instance id
+        (0 = untracked; see accum/tracking.InstanceTracker).
+
+    Returns (painted (N,10), valid_out (N,)).
+    """
+    H, W = imgs.shape[1], imgs.shape[2]
+    u = jnp.clip(jnp.round(pc[:, 4]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(pc[:, 5]).astype(jnp.int32), 0, H - 1)
+    ci = jnp.clip(cam_idx, 0, imgs.shape[0] - 1)
+    rgb = imgs[ci, v, u]
+    sem = semsegs[ci, v, u].astype(jnp.float32)
+    valid_out = (valid & (cam_idx >= 0)
+                 & geo.semseg_filter_mask(sem, filters))
+    world_xyz = geo.homo_transform(T_world_ego, pc[:, :3])
+    inten = pc[:, 3:4] / 255.0
+    fi = jnp.clip(pc[:, 6].astype(jnp.int32) + 1, 0,
+                  inst_remap.shape[0] - 1)
+    inst = inst_remap[fi].astype(jnp.float32)
+    zeros = jnp.zeros_like(sem)
+    painted = jnp.concatenate([
+        world_xyz, inten, rgb, sem[:, None], inst[:, None], zeros[:, None]
+    ], axis=1)
+    return painted, valid_out
+
+
+@functools.partial(jax.jit, static_argnames=('filters',))
 def paint_frame_gt(pc, valid, sem_gt, T_world_velo, filters):
     """GT-semantics paint path: zero RGB, keep all (unfiltered) points
     (kitti360_sem_pc_accum.py:138-144)."""

@@ -1,0 +1,193 @@
+"""NuScenes oracle-pose accumulator: GT ego poses, 6-camera painting, fake
+detection + tracking, optional GT lane centerlines.
+
+Counterpart of NuScenesOracleSemanticPointCloudAccumulator
+(nuscenes_oracle_sem_pc_accum.py:12-732). Key equivalences:
+  * fixed world frame = first ego pose (T_global_world, reference
+    :170-186) -> bev_ref_frame='world';
+  * no memory-horizon eviction (the oracle never evicts);
+  * fake tracking lives in accum/tracking.InstanceTracker; the retroactive
+    dyn relabel of past points (reference :243-250) becomes a per-global-id
+    device table update (buffer.set_instance_dyn) folded in at raster time;
+  * all 6 cameras run one batched semseg forward + one gather paint
+    (vs 6 serial session.run calls, reference :461-469).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.accum import buffer, tracking
+from pc_accumulation_lib_tpu.accum.base import SemanticPointCloudAccumulator
+
+_MAX_DYN_UPDATES = 64  # padded per-frame dynamic-flag update batch
+
+
+class NuScenesOracleSemanticPointCloudAccumulator(
+        SemanticPointCloudAccumulator):
+
+    bev_ref_frame = 'world'
+
+    def __init__(self, semseg_model=None,
+                 semseg_filters=cfg.DEFAULT_SEMSEG_FILTERS,
+                 sem_idxs: Optional[dict] = None, use_gt_sem: bool = False,
+                 bev_params: Optional[dict] = None, loc: Optional[str] = None,
+                 get_gt_lanes: bool = False, dataroot: Optional[str] = None,
+                 accum_cfg: Optional[cfg.AccumConfig] = None,
+                 gt_lane_poses: Optional[list] = None,
+                 seed: Optional[int] = None):
+        """Args mirror the reference constructor (reference :15-102);
+        ``gt_lane_poses`` may be injected directly (tests) instead of
+        loading via the devkit map expansion."""
+        if use_gt_sem:
+            raise NotImplementedError()
+        super().__init__(horizon_dist=np.inf, icp_threshold=np.inf,
+                         semseg_model=semseg_model,
+                         semseg_filters=semseg_filters, sem_idxs=sem_idxs,
+                         use_gt_sem=use_gt_sem, bev_params=bev_params,
+                         accum_cfg=accum_cfg, seed=seed)
+        self.ts = 0
+        self.T_global_world = None
+        self.ego_pose_z = 1.0                      # (reference :77)
+        self.tracker = tracking.InstanceTracker()
+        self.map = loc
+        self.ego_global_xs: List[float] = []
+        self.ego_global_ys: List[float] = []
+        self.get_gt_lanes = get_gt_lanes
+        self.gt_lane_poses = gt_lane_poses
+        if self.get_gt_lanes and self.gt_lane_poses is None:
+            from pc_accumulation_lib_tpu.dataloaders.lanemap import (
+                get_centerlines)
+            self.gt_lane_poses = get_centerlines(dataroot, loc)
+        self._fused = self._build_fused_step()
+
+    def _build_fused_step(self):
+        filters = self.semseg_filters
+        model = self.semseg_model
+        cap = self.accum_cfg.painted_cap
+
+        def step(state, variables, pc_pad, valid, cam_idx, imgs,
+                 T_world_ego, inst_remap, dyn_updates, frame_id):
+            logits = model.model.apply(variables, imgs, train=False)
+            semsegs = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            painted, valid_out = buffer.paint_frame_multicam(
+                pc_pad, valid, cam_idx, imgs, semsegs, T_world_ego,
+                inst_remap, filters)
+            painted, valid_out, n_valid = buffer.compact_rows(
+                painted, valid_out, cap)
+            state = buffer.insert_frame(state, painted, valid_out, frame_id)
+            state = state._replace(inst_dyn=state.inst_dyn.at[
+                dyn_updates].max(jnp.where(dyn_updates > 0, 1.0, 0.0)))
+            return state, n_valid, semsegs
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def integrate(self, observations: list):
+        """Integrate obs dicts (reference :139-270). No eviction; returns 0
+        for API parity with the streaming accumulators."""
+        for obs in observations:
+            self._integrate_one(obs)
+        return 0
+
+    def _integrate_one(self, obs: dict):
+        pc = np.asarray(obs['pc'], np.float32)
+        pc_cam_idx = np.asarray(obs['pc_cam_idx'], np.int32)
+        T_ego_global = np.asarray(obs['ego_at_lidar_ts'], np.float64)
+
+        if self.T_global_world is None:
+            # World frame := first ego frame (reference :170-177).
+            self.T_global_world = np.linalg.inv(T_ego_global)
+            if self.get_gt_lanes and self.gt_lane_poses is not None:
+                self.gt_lane_poses = [
+                    np.asarray(l) @ self.T_global_world[:3, :3].T
+                    + self.T_global_world[:3, 3] for l in self.gt_lane_poses
+                ]
+
+        T_ego_world = self.T_global_world @ T_ego_global
+        pose = T_ego_world[:3, -1].tolist()
+        pose[2] += self.ego_pose_z                  # (reference :450-452)
+
+        # ---- fake detection + tracking (host, reference :191-250) ----
+        centers_world = [
+            self.T_global_world[:3, :3] @ np.asarray(c)
+            + self.T_global_world[:3, 3] for c in obs['inst_center']
+        ]
+        frame_to_global, newly_dynamic = self.tracker.update(
+            self.ts, obs['inst_tokens'], obs['inst_cls'], centers_world)
+        if self.tracker._next_global >= self.accum_cfg.max_instances:
+            raise RuntimeError(
+                f'Instance table overflow (> {self.accum_cfg.max_instances}'
+                '); raise AccumConfig.max_instances.')
+        max_fi = int(pc[:, 6].max()) if pc.shape[0] else -1
+        remap = np.zeros(max(max_fi + 2, 2), np.int32)
+        for fi, gid in frame_to_global.items():
+            if fi + 1 < remap.shape[0]:
+                remap[fi + 1] = gid
+        # Newly-dynamic global ids -> device dyn table (covers both the
+        # "flag new observations" and "retroactively relabel past points"
+        # branches of reference :223-250, since the table applies to every
+        # stored point at raster time). Padded; id 0 is a no-op slot.
+        dyn_updates = np.zeros(_MAX_DYN_UPDATES, np.int32)
+        for i, gid in enumerate(newly_dynamic[:_MAX_DYN_UPDATES]):
+            dyn_updates[i] = gid
+
+        # ---- fused device step: semseg + paint + insert ----
+        n_pad = self.accum_cfg.max_points_per_frame
+        if pc.shape[0] > n_pad:
+            raise RuntimeError(
+                f'Frame has {pc.shape[0]} points > max_points_per_frame='
+                f'{n_pad}.')
+        pc_p = np.zeros((n_pad, pc.shape[1]), np.float32)
+        pc_p[:pc.shape[0]] = pc
+        ci_p = -np.ones(n_pad, np.int32)
+        ci_p[:pc.shape[0]] = pc_cam_idx
+        valid = np.arange(n_pad) < pc.shape[0]
+        imgs = np.stack([np.asarray(im, np.float32)[..., :3]
+                         for im in obs['images']])
+        self.state, n_valid, semsegs = self._fused(
+            self.state, self.semseg_model.variables, jnp.asarray(pc_p),
+            jnp.asarray(valid), jnp.asarray(ci_p), jnp.asarray(imgs),
+            jnp.asarray(T_ego_world, jnp.float32), jnp.asarray(remap),
+            jnp.asarray(dyn_updates), jnp.int32(self.frame_count))
+
+        self._append_frame_meta(T_ego_world, obs['images'], semsegs)
+        self.ego_global_xs.append(obs['ego_global_x'])
+        self.ego_global_ys.append(obs['ego_global_y'])
+        # Oracle pose: world-frame ego position with z-lift, NOT the velo
+        # chain translation (reference :447-452).
+        self.poses[-1] = pose
+
+        if len(self.poses) > 1:
+            seg_dist = self.dist(np.array(self.poses[-1]),
+                                 np.array(self.poses[-2]))
+            self.seg_dists.append(seg_dist)
+            path_length = float(np.sum(self.seg_dists))
+        else:
+            path_length = 0.0
+        print(f'    ts {self.ts} | #pc {len(self.poses)} |',
+              f'path length {path_length:.2f}')
+        self.ts += 1
+
+    # ------------------------------------------------------------------
+    # Trajectories + lanes for BEV generation
+    # ------------------------------------------------------------------
+    def _other_trajs(self, present_idx, gen_future):
+        past, future, full = self.tracker.get_split_dyn_obj_trajs(
+            present_idx)
+        to_np = lambda ts: [np.asarray(t, np.float64) for t in ts]  # noqa
+        if gen_future:
+            return to_np(past), to_np(future), to_np(full)
+        return to_np(past), [], []
+
+    def _gt_lanes(self):
+        if self.get_gt_lanes and self.gt_lane_poses is not None:
+            return self.gt_lane_poses
+        return None
+
+    def get_split_dyn_obj_trajs(self, split_idx, skip_ego_traj=True):
+        """Reference-parity accessor (reference :272-287)."""
+        return self.tracker.get_split_dyn_obj_trajs(split_idx)

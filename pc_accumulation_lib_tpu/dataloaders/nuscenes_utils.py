@@ -1,0 +1,334 @@
+"""NuScenes dataset utilities.
+
+Counterpart of datasets/nuscenes_utils.py (reference :14-608). The
+nuscenes-devkit (and pyquaternion) are imported lazily inside the functions
+that need them so the rest of the framework works without the dataset
+installed; the geometry helpers below are devkit-free and unit-tested.
+
+Key structural change vs the reference: the per-box Python loop with
+per-box in-box point tests (reference :412-472) is replaced by a vectorized
+all-boxes-at-once containment test (SURVEY.md hard part 6).
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import List, Optional
+
+import numpy as np
+import numpy.linalg as LA
+
+# Detection-class canonicalization (reference :14-38).
+map_name_from_general_to_detection = {
+    'human.pedestrian.adult': 'pedestrian',
+    'human.pedestrian.child': 'pedestrian',
+    'human.pedestrian.wheelchair': 'ignore',
+    'human.pedestrian.stroller': 'ignore',
+    'human.pedestrian.personal_mobility': 'ignore',
+    'human.pedestrian.police_officer': 'pedestrian',
+    'human.pedestrian.construction_worker': 'pedestrian',
+    'animal': 'ignore',
+    'vehicle.car': 'car',
+    'vehicle.motorcycle': 'motorcycle',
+    'vehicle.bicycle': 'bicycle',
+    'vehicle.bus.bendy': 'bus',
+    'vehicle.bus.rigid': 'bus',
+    'vehicle.truck': 'truck',
+    'vehicle.construction': 'construction_vehicle',
+    'vehicle.emergency.ambulance': 'ignore',
+    'vehicle.emergency.police': 'ignore',
+    'vehicle.trailer': 'trailer',
+    'movable_object.barrier': 'barrier',
+    'movable_object.trafficcone': 'traffic_cone',
+    'movable_object.pushable_pullable': 'ignore',
+    'movable_object.debris': 'ignore',
+    'static_object.bicycle_rack': 'ignore',
+}
+
+DETECTION_CLASSES = ('car', 'truck', 'construction_vehicle', 'bus',
+                     'trailer', 'motorcycle', 'bicycle', 'pedestrian')
+
+
+def homo_transform(tf_mat: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Apply a 4x4 homogeneous transform to (N,3) points (reference
+    :46-60)."""
+    assert tf_mat.shape == (4, 4)
+    return points @ tf_mat[:3, :3].T + tf_mat[:3, 3]
+
+
+def tf(translation, rotation) -> np.ndarray:
+    """Build a 4x4 transform from translation + quaternion (reference
+    :217-230)."""
+    from pyquaternion import Quaternion
+    if not isinstance(rotation, Quaternion):
+        rotation = Quaternion(rotation)
+    tf_mat = np.eye(4)
+    tf_mat[:3, :3] = rotation.rotation_matrix
+    tf_mat[:3, 3] = translation
+    return tf_mat
+
+
+def apply_tf(tf_mat: np.ndarray, points: np.ndarray, in_place=False):
+    """(reference :233-243)"""
+    if in_place:
+        points[:, :3] = homo_transform(tf_mat, points[:, :3])
+        return None
+    return homo_transform(tf_mat, points[:, :3])
+
+
+def pts_feat_from_img(pts_uv: np.ndarray, img: np.ndarray,
+                      method: str = 'bilinear') -> np.ndarray:
+    """Sample image features at projected point coordinates (reference
+    :181-214): bilinear or nearest. pts_uv must be strictly inside the
+    image (same assertion semantics)."""
+    assert method in ('bilinear', 'nearest')
+    img_wh = np.array([img.shape[1], img.shape[0]], dtype=float)
+    mask_inside = (pts_uv > 1) & (pts_uv < img_wh - 1)
+    assert np.all(mask_inside), 'pts_uv must be all inside image'
+    if method == 'nearest':
+        uv_ = np.round(pts_uv).astype(int)
+        return img[uv_[:, 1], uv_[:, 0]]
+    u, v = pts_uv[:, 0], pts_uv[:, 1]
+    u_floor, u_ceil = np.floor(u), np.ceil(u)
+    v_floor, v_ceil = np.floor(v), np.ceil(v)
+    total = (u_ceil - u_floor) * (v_ceil - v_floor)
+    w_ff = (u_ceil - u) * (v_ceil - v) / total
+    w_cc = (u - u_floor) * (v - v_floor) / total
+    w_fc = (u - u_floor) * (v_ceil - v) / total
+    w_cf = 1. - (w_ff + w_cc + w_fc)
+    u_floor, v_floor = u_floor.astype(int), v_floor.astype(int)
+    u_ceil, v_ceil = u_ceil.astype(int), v_ceil.astype(int)
+    return (w_ff[:, None] * img[v_floor, u_floor]
+            + w_cc[:, None] * img[v_ceil, u_ceil]
+            + w_cf[:, None] * img[v_ceil, u_floor]
+            + w_fc[:, None] * img[v_floor, u_ceil])
+
+
+def project_pts3d(pc_cam: np.ndarray, cam_K: np.ndarray,
+                  img_wh: np.ndarray, depth_thres: float = 1e-3):
+    """Project camera-frame points to pixels (NuScenesCamera.project_pts3d,
+    reference :112-136): returns (uv (N,2), mask_in_img (N,))."""
+    mask_valid = pc_cam[:, 2] > depth_thres
+    out = np.zeros((pc_cam.shape[0], 2), dtype=float) - 10
+    p = pc_cam[mask_valid]
+    uvw = p @ cam_K.T
+    out[mask_valid] = uvw[:, :2] / uvw[:, 2:3]
+    mask_in_img = (out > 1) & (out < np.asarray(img_wh, float) - 1)
+    return out, np.all(mask_in_img, axis=1) & mask_valid
+
+
+def remove_ego_vehicle_points(points: np.ndarray,
+                              center_radius: float) -> np.ndarray:
+    """(reference :312-314)"""
+    return points[LA.norm(points[:, :2], axis=1) > center_radius]
+
+
+def find_points_in_boxes(points: np.ndarray, target_from_boxes: np.ndarray,
+                         dxdydz: np.ndarray, tolerance: float) -> np.ndarray:
+    """Vectorized points-in-oriented-boxes test.
+
+    Replaces the reference's per-box loop calls to find_points_in_box
+    (reference :317-329, invoked per box at :427-430) with one einsum over
+    all boxes.
+
+    Args:
+      points: (N, 3+) target-frame points.
+      target_from_boxes: (B, 4, 4) box->target transforms.
+      dxdydz: (B, 3) box sizes.
+    Returns (N, B) bool containment matrix.
+    """
+    if target_from_boxes.shape[0] == 0:
+        return np.zeros((points.shape[0], 0), dtype=bool)
+    inv = LA.inv(target_from_boxes)                       # (B,4,4)
+    local = np.einsum('bij,nj->nbi', inv[:, :3, :3], points[:, :3])
+    local = local + inv[None, :, :3, 3]
+    return np.all(np.abs(local / dxdydz[None]) < (0.5 + tolerance), axis=2)
+
+
+class NuScenesSensor:
+    """Sensor pose wrapper (reference :63-93); devkit record based."""
+
+    def __init__(self, nusc, record):
+        self.token = record['token']
+        self.channel = record['channel']
+        cs = nusc.get('calibrated_sensor', record['calibrated_sensor_token'])
+        self.ego_from_self = tf(cs['translation'], cs['rotation'])
+        ego = nusc.get('ego_pose', record['ego_pose_token'])
+        self.glob_from_ego = tf(ego['translation'], ego['rotation'])
+        self.glob_from_self = self.glob_from_ego @ self.ego_from_self
+        self.img = None
+        self.cam_K = None
+
+
+class NuScenesCamera(NuScenesSensor):
+    """(reference :96-136)"""
+
+    def __init__(self, nusc, record):
+        from PIL import Image
+        super().__init__(nusc, record)
+        self.img_wh = np.array([record['width'], record['height']], float)
+        self.img = Image.open(osp.join(nusc.dataroot, record['filename']))
+        cs = nusc.get('calibrated_sensor', record['calibrated_sensor_token'])
+        self.cam_K = np.array(cs['camera_intrinsic'])
+
+    def project_pts3d(self, pc, depth_thres=1e-3):
+        return project_pts3d(pc, self.cam_K, self.img_wh, depth_thres)
+
+
+class NuScenesLidar(NuScenesSensor):
+    """(reference :139-178)"""
+
+
+def get_sweeps_token(nusc, curr_sd_token: str, n_sweeps: int,
+                     return_time_lag: bool, return_sweep_idx: bool) -> list:
+    """Walk n_sweeps sample_data tokens into the past (reference
+    :246-271)."""
+    ref_sd = nusc.get('sample_data', curr_sd_token)
+    ref_time = ref_sd['timestamp'] * 1e-6
+    out = []
+    for s_idx in range(n_sweeps):
+        curr_sd = nusc.get('sample_data', curr_sd_token)
+        lag = ref_time - curr_sd['timestamp'] * 1e-6
+        if return_sweep_idx:
+            out.append((curr_sd_token, lag, n_sweeps - 1 - s_idx))
+        else:
+            out.append((curr_sd_token, lag))
+        if curr_sd['prev'] != '':
+            curr_sd_token = curr_sd['prev']
+    out.reverse()
+    if return_time_lag:
+        return out
+    return [t for t, *_ in out]
+
+
+def get_nuscenes_sensor_pose_in_ego_vehicle(nusc, curr_sd_token: str):
+    rec = nusc.get('sample_data', curr_sd_token)
+    cs = nusc.get('calibrated_sensor', rec['calibrated_sensor_token'])
+    return tf(cs['translation'], cs['rotation'])
+
+
+def get_nuscenes_sensor_pose_in_global(nusc, curr_sd_token: str):
+    ego_from_curr = get_nuscenes_sensor_pose_in_ego_vehicle(
+        nusc, curr_sd_token)
+    rec = nusc.get('sample_data', curr_sd_token)
+    ego_rec = nusc.get('ego_pose', rec['ego_pose_token'])
+    return tf(ego_rec['translation'], ego_rec['rotation']) @ ego_from_curr
+
+
+def get_sample_data_point_cloud(nusc, sample_data_token: str,
+                                time_lag: float, sweep_idx: int):
+    """(N,6) = x,y,z,intensity,time,sweep_idx (reference :294-309)."""
+    pcfile = nusc.get_sample_data_path(sample_data_token)
+    pc = np.fromfile(pcfile, dtype=np.float32).reshape([-1, 5])[:, :4]
+    pc = np.pad(pc, [(0, 0), (0, 2)], constant_values=0).astype(np.float64)
+    pc[:, -2] = time_lag
+    pc[:, -1] = sweep_idx
+    return pc
+
+
+def inst_centric_get_sweeps(nusc, sample_token: str, n_sweeps: int,
+                            center_radius: float, in_box_tolerance: float,
+                            return_instances_last_box: bool,
+                            point_cloud_range: list,
+                            detection_classes: tuple,
+                            map_point_feat2idx: dict) -> dict:
+    """Multi-sweep instance-labelled point fetch (reference :332-530).
+
+    Same output contract; per-sweep box containment is vectorized over all
+    boxes (find_points_in_boxes). Output 'points' rows:
+      [x, y, z, intensity, time_lag, sweep_idx, instance_idx, class_idx]
+    """
+    sample_rec = nusc.get('sample', sample_token)
+    target_sd_token = sample_rec['data']['LIDAR_TOP']
+    sd_tokens_times = get_sweeps_token(nusc, target_sd_token, n_sweeps,
+                                       return_time_lag=True,
+                                       return_sweep_idx=True)
+    target_from_glob = LA.inv(
+        get_nuscenes_sensor_pose_in_global(nusc, target_sd_token))
+
+    inst_token_2_index = {}
+    instances, instances_sweep_indices = [], []
+    instances_size, instances_name = [], []
+    inst_latest_anno_tk, instances_token, instances_center = [], [], []
+    all_points = []
+    inst_i = map_point_feat2idx['inst_idx']
+    cls_i = map_point_feat2idx['cls_idx']
+
+    for sd_token, time_lag, s_idx in sd_tokens_times:
+        glob_from_cur = get_nuscenes_sensor_pose_in_global(nusc, sd_token)
+        pts = get_sample_data_point_cloud(nusc, sd_token, time_lag, s_idx)
+        pts = remove_ego_vehicle_points(pts, center_radius)
+        pts[:, :3] = homo_transform(target_from_glob @ glob_from_cur,
+                                    pts[:, :3])
+        pts = np.pad(pts, [(0, 0), (0, 2)], constant_values=-1)
+
+        boxes = nusc.get_boxes(sd_token)
+        kept, box_tfs, box_sizes = [], [], []
+        for box in boxes:
+            name = map_name_from_general_to_detection[box.name]
+            if name not in detection_classes:
+                continue
+            anno_rec = nusc.get('sample_annotation', box.token)
+            if anno_rec['num_lidar_pts'] < 1:
+                continue
+            glob_from_box = tf(box.center, box.orientation)
+            box_tfs.append(target_from_glob @ glob_from_box)
+            box_sizes.append([box.wlh[1], box.wlh[0], box.wlh[2]])
+            kept.append((box, anno_rec, name))
+        if kept:
+            contain = find_points_in_boxes(pts,
+                                           np.stack(box_tfs),
+                                           np.array(box_sizes),
+                                           in_box_tolerance)
+        for b_idx, (box, anno_rec, name) in enumerate(kept):
+            mask_in = contain[:, b_idx]
+            if not np.any(mask_in):
+                continue
+            inst_token = anno_rec['instance_token']
+            if inst_token not in inst_token_2_index:
+                inst_token_2_index[inst_token] = len(instances)
+                instances.append([box_tfs[b_idx]])
+                instances_sweep_indices.append([s_idx])
+                instances_size.append(box_sizes[b_idx])
+                instances_name.append(detection_classes.index(name))
+                inst_latest_anno_tk.append(anno_rec['token'])
+            else:
+                ci = inst_token_2_index[inst_token]
+                instances[ci].append(box_tfs[b_idx])
+                instances_sweep_indices[ci].append(s_idx)
+                inst_latest_anno_tk[ci] = anno_rec['token']
+            pts[mask_in, inst_i] = inst_token_2_index[inst_token]
+            pts[mask_in, cls_i] = detection_classes.index(name)
+            instances_token.append(inst_token)
+            instances_center.append(box.center)
+        all_points.append(pts)
+
+    all_points = np.concatenate(all_points, axis=0)
+    out = {
+        'points': all_points,
+        'instances_token': instances_token,
+        'instances_center': instances_center,
+    }
+    if return_instances_last_box:
+        pc_range = np.asarray(point_cloud_range)
+        last_box = np.zeros((len(instances), 9))
+        for _idx, (_size, _poses) in enumerate(zip(instances_size,
+                                                   instances)):
+            chosen = 0
+            for pose_idx in range(-1, -len(_poses) - 1, -1):
+                c = _poses[pose_idx][:3, -1]
+                if np.all((c >= pc_range[:3]) & (c < pc_range[3:] - 1e-2)):
+                    chosen = pose_idx
+                    break
+            last_box[_idx, :3] = _poses[chosen][:3, -1]
+            last_box[_idx, 3:6] = np.array(_size)
+            last_box[_idx, 6] = np.arctan2(_poses[chosen][1, 0],
+                                           _poses[chosen][0, 0])
+            velo = nusc.box_velocity(inst_latest_anno_tk[_idx]).reshape(1, 3)
+            # Reference applies the full homogeneous transform (incl.
+            # translation) to the velocity vector (reference :521-525);
+            # kept for output parity.
+            last_box[_idx, 7:9] = homo_transform(target_from_glob,
+                                                 velo).reshape(3)[:2]
+        out['instances_last_box'] = last_box
+        out['instances_name'] = np.array(instances_name)
+    return out

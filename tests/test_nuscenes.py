@@ -1,0 +1,161 @@
+"""NuScenes path tests: fake tracker semantics (oracles re-implemented from
+nuscenes_oracle_sem_pc_accum.py:272-414), oracle accumulator end-to-end on
+synthetic obs dicts, dynamic-object exclusion/relabelling, GT lanes, and
+the (un-gated) ICP variant."""
+import numpy as np
+import pytest
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.accum.nuscenes import (
+    NuScenesSemanticPointCloudAccumulator)
+from pc_accumulation_lib_tpu.accum.nuscenes_oracle import (
+    NuScenesOracleSemanticPointCloudAccumulator)
+from pc_accumulation_lib_tpu.accum.tracking import InstanceTracker
+from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+    SyntheticNuScenesStream)
+from pc_accumulation_lib_tpu.models.semseg import SemSegTPU
+
+ACCUM_CFG = cfg.AccumConfig(max_points_per_frame=16384, max_frames=32,
+                            max_painted_points_per_frame=16384,
+                            max_instances=64)
+BEV_PARAMS = dict(type='sem', view_size=40, pixel_size=64,
+                  int_scaler=1., int_sep_scaler=30., int_mid_threshold=0.12)
+
+
+# ----------------------------------------------------------------------
+# Tracker semantics
+# ----------------------------------------------------------------------
+def test_find_nearest_idx_semantics():
+    arr = [0, 1, 2, 3, 4, 6, 8, 9, 10]
+    assert InstanceTracker.find_nearest_ge_idx(arr, 5) == 5
+    assert InstanceTracker.find_nearest_le_idx(arr, 5) == 4
+    assert InstanceTracker.find_nearest_le_idx(arr, 10) == 8
+    with pytest.raises(ValueError):
+        InstanceTracker.find_nearest_ge_idx(arr, 11)
+    with pytest.raises(ValueError):
+        InstanceTracker.find_nearest_le_idx([3, 4], 2)
+
+
+def test_parse_seq_into_coherent_seqs():
+    """(reference :390-414): runs of consecutive ts -> local idx lists."""
+    got = InstanceTracker.parse_seq_into_coherent_seqs([0, 1, 3, 4, 5, 9])
+    assert got == [[0, 1], [2, 3, 4], [5]]
+    got = InstanceTracker.parse_seq_into_coherent_seqs([2, 3])
+    assert got == [[0, 1]]
+
+
+def test_tracker_dynamic_flagging():
+    tr = InstanceTracker(dyn_trans_thresh=1.0)
+    center = np.array([0.0, 0.0, 0.0])
+    for ts in range(4):
+        # moving: +0.6 m/step -> crosses 1.0 m between first/last at ts 2
+        f2g, newly = tr.update(ts, ['mov', 'park'], [0, 0],
+                               [center + [0.6 * ts, 0, 0], center])
+        if ts < 2:
+            assert newly == []
+    assert 'mov' in tr.dyn_instances
+    assert 'park' not in tr.dyn_instances
+    # untracked class never tracked
+    f2g, _ = tr.update(5, ['tr'], [4], [center])  # class 4 = trailer
+    assert f2g == {}
+
+
+def test_tracker_traj_split():
+    tr = InstanceTracker(dyn_trans_thresh=0.5)
+    for ts in range(6):
+        tr.update(ts, ['mov'], [0], [np.array([1.0 * ts, 0, 0])])
+    past, future, full = tr.get_split_dyn_obj_trajs(3)
+    assert len(full) == 1 and len(full[0]) == 6
+    assert len(past) == 1 and len(past[0]) == 4   # ts 0..3 inclusive
+    assert len(future) == 1 and len(future[0]) == 3  # ts 3..5
+
+
+# ----------------------------------------------------------------------
+# Oracle accumulator end-to-end
+# ----------------------------------------------------------------------
+@pytest.fixture(scope='module')
+def oracle_accum():
+    stream = SyntheticNuScenesStream(n_frames=10, step=2.0, lidar_range=20.0,
+                                     seed=2)
+    model = SemSegTPU(seed=0, stage_sizes=(1, 1, 1, 1))
+    lanes = [np.stack([np.linspace(0, 100, 101),
+                       np.zeros(101), np.zeros(101)], 1)]
+    accum = NuScenesOracleSemanticPointCloudAccumulator(
+        semseg_model=model, bev_params=BEV_PARAMS, loc='synth-map',
+        get_gt_lanes=True, gt_lane_poses=lanes, accum_cfg=ACCUM_CFG, seed=0)
+    for obs in stream:
+        accum.integrate(obs)
+    return accum
+
+
+def test_oracle_poses_world_frame(oracle_accum):
+    poses = oracle_accum.get_pose()
+    assert poses.shape == (10, 3)
+    # World frame = first ego frame: first pose at origin + z-lift 1.0.
+    np.testing.assert_allclose(poses[0], [0, 0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.diff(poses[:, 0]), 2.0, atol=1e-6)
+    assert len(oracle_accum.ego_global_xs) == 10
+
+
+def test_oracle_detects_moving_car(oracle_accum):
+    tr = oracle_accum.tracker
+    assert 'car_moving' in tr.dyn_instances
+    assert 'car_parked' not in tr.dyn_instances
+    # Device dyn table has the moving car's global id flagged.
+    gid = tr.token2global['car_moving']
+    assert float(oracle_accum.state.inst_dyn[gid]) == 1.0
+    assert float(oracle_accum.state.inst_dyn[
+        tr.token2global['car_parked']]) == 0.0
+
+
+def test_oracle_generate_bev_schema(oracle_accum):
+    bevs = oracle_accum.generate_bev(present_idx=5, bev_num=1,
+                                     gen_future=True)
+    bev = bevs[0]
+    for s in ('present', 'future', 'full'):
+        for k in ('road', 'intensity', 'rgb', 'dynamic', 'elevation',
+                  'trajs'):
+            assert f'{k}_{s}' in bev
+    assert 'gt_lanes' in bev
+    assert len(bev['gt_lanes']) >= 1
+    # Other-agent (moving car) trajectories present in full split:
+    # ego + at least one dyn-object traj.
+    assert len(bev['trajs_full']) >= 2
+    # Points were rasterized (random-weight semseg yields arbitrary
+    # classes, so assert on occupancy rather than the road class): cells
+    # with non-road points push the Dirichlet below the 0.5 prior, and
+    # observed cells carry colour/elevation.
+    road = np.asarray(bev['road_full'], np.float32)
+    assert float(road.min()) < 0.4
+    assert (np.asarray(bev['rgb_full'], np.float32) > 0).any()
+    assert (np.asarray(bev['elevation_full'], np.float32) != 0).any()
+
+
+def test_oracle_run_script_metadata(oracle_accum):
+    bev = oracle_accum.generate_bev(present_idx=5, bev_num=1,
+                                    gen_future=True)[0]
+    bev['scene_idx'] = 0
+    bev['map'] = oracle_accum.map
+    bev['ego_global_x'] = oracle_accum.ego_global_xs[5]
+    bev['ego_global_y'] = oracle_accum.ego_global_ys[5]
+    assert bev['map'] == 'synth-map'
+
+
+# ----------------------------------------------------------------------
+# ICP (estimated-pose) variant
+# ----------------------------------------------------------------------
+def test_nuscenes_icp_accumulator_runs():
+    stream = SyntheticNuScenesStream(n_frames=8, step=2.0, lidar_range=25.0,
+                                     seed=3)
+    model = SemSegTPU(seed=0, stage_sizes=(1, 1, 1, 1))
+    accum = NuScenesSemanticPointCloudAccumulator(
+        horizon_dist=100.0, icp_threshold=1e3, semseg_model=model,
+        bev_params=BEV_PARAMS, loc='synth-map', accum_cfg=ACCUM_CFG,
+        icp_cfg=cfg.ICPConfig(max_downsampled=2048, num_iters=16), seed=0)
+    for obs in stream:
+        accum.integrate(obs)
+    poses = accum.get_pose()
+    steps = np.linalg.norm(np.diff(poses, axis=0), axis=1)
+    np.testing.assert_allclose(steps, 2.0, atol=0.4)
+    bev = accum.generate_bev(present_idx=4, bev_num=1, gen_future=True)[0]
+    assert 'road_full' in bev
