@@ -123,6 +123,7 @@ class OutputConfig:
     output_dir: str = 'bevs'
     subdir_size: int = 1000
     viz_to_disk: bool = True
+    async_io: bool = True   # native C++ gzip writer pool (utils/async_writer)
 
 
 # KITTI-360 sequence table (run_kitti360_bev_gen.py:161-173).

@@ -50,6 +50,11 @@ def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
     bev_count = 0
     previous_idx = 0
     frames = 0
+    writer = None
+    if output.async_io:
+        from pc_accumulation_lib_tpu.utils.async_writer import (
+            AsyncPickleWriter)
+        writer = AsyncPickleWriter()
     for sample_idx, observations in enumerate(dataloader):
         num_obs_removed = sem_pc_accum.integrate(observations)
         frames += len(observations)
@@ -96,7 +101,10 @@ def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
             output_path = os.path.join(output.output_dir,
                                        f'subdir{subdir_idx:03d}')
             os.makedirs(output_path, exist_ok=True)
-            write_compressed_pickle(bev, filename, output_path)
+            if writer is not None:
+                writer.write(bev, filename, output_path)
+            else:
+                write_compressed_pickle(bev, filename, output_path)
             if output.viz_to_disk:
                 viz_file = os.path.join(output_path, f'viz_{bev_idx:03d}.png')
                 sem_pc_accum.viz_bev(bev, viz_file, rgbs, semsegs)
@@ -104,6 +112,8 @@ def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
                 on_bev(bev, os.path.join(output_path, filename))
             bev_idx += 1
             bev_count += 1
+    if writer is not None:
+        writer.wait()
     return {'frames': frames, 'bevs': bev_count}
 
 

@@ -113,6 +113,11 @@ def run(nuscenes_path: str, semseg_model=None,
     bev_idx = 0
     subdir_idx = 0
     bev_count = 0
+    writer = None
+    if output.async_io:
+        from pc_accumulation_lib_tpu.utils.async_writer import (
+            AsyncPickleWriter)
+        writer = AsyncPickleWriter()
     scene_ids = list(range(start_scene_idx,
                            min(end_scene_idx, len(nusc.scene))))
     scene_units = shard_units([str(s) for s in scene_ids], shard_idx,
@@ -166,7 +171,10 @@ def run(nuscenes_path: str, semseg_model=None,
                     sem_pc_accum.ego_global_xs[present_idx]
                 bev['ego_global_y'] = \
                     sem_pc_accum.ego_global_ys[present_idx]
-                write_compressed_pickle(bev, filename, out_path)
+                if writer is not None:
+                    writer.write(bev, filename, out_path)
+                else:
+                    write_compressed_pickle(bev, filename, out_path)
                 if output.viz_to_disk:
                     viz_file = os.path.join(out_path,
                                             f'viz_{bev_idx:03d}.png')
@@ -176,6 +184,8 @@ def run(nuscenes_path: str, semseg_model=None,
                 scene_bevs += 1
         if manifest is not None:
             manifest.mark_done(scene_str, bevs=scene_bevs)
+    if writer is not None:
+        writer.wait()
     return {'bevs': bev_count}
 
 
