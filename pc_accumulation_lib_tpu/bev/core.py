@@ -28,36 +28,62 @@ from pc_accumulation_lib_tpu.ops import warp as warp_ops
 
 
 class RasterParams(NamedTuple):
-    """Traced per-sample raster parameters (batch axis = aug samples)."""
-    T_ref_world: jax.Array    # (4,4) world -> BEV reference frame
-    bev_coords: jax.Array     # (3,) BEV origin in reference frame
-    window_min: jax.Array     # scalar i32: first in-horizon global frame id
-    window_max: jax.Array     # scalar i32: last global frame id (inclusive)
-    present_frame: jax.Array  # scalar i32: frames < this are 'present'
-    rot_ang: jax.Array        # scalar f32
-    trans_dx: jax.Array       # scalar f32
-    trans_dy: jax.Array       # scalar f32
-    zoom: jax.Array           # scalar f32 (aug_view = zoom * view_size)
-    warp_a1: jax.Array        # dense-warp column polynomial (identity: 1,0)
-    warp_a2: jax.Array
-    warp_b1: jax.Array        # dense-warp row polynomial (identity: 1,0)
-    warp_b2: jax.Array
-    height_thresh: jax.Array  # scalar f32 (+inf = disabled)
+    """Per-sample raster parameters (HOST-side numpy/python values — packed
+    into ONE device vector per dispatch; creating a device array per scalar
+    would cost one host->device round trip EACH on remote-TPU links)."""
+    T_ref_world: np.ndarray   # (4,4) world -> BEV reference frame
+    bev_coords: np.ndarray    # (3,) BEV origin in reference frame
+    window_min: int           # first in-horizon global frame id
+    window_max: int           # last global frame id (inclusive)
+    present_frame: int        # frames < this are 'present'
+    rot_ang: float
+    trans_dx: float
+    trans_dy: float
+    zoom: float               # aug_view = zoom * view_size
+    warp_a1: float            # dense-warp column polynomial (identity: 1,0)
+    warp_a2: float
+    warp_b1: float            # dense-warp row polynomial (identity: 1,0)
+    warp_b2: float
+    height_thresh: float      # +inf = disabled
+
+    def pack(self) -> np.ndarray:
+        """-> (31,) float32 vector: one transfer per dispatch."""
+        return np.concatenate([
+            np.asarray(self.T_ref_world, np.float32).reshape(-1),
+            np.asarray(self.bev_coords, np.float32),
+            np.array([self.window_min, self.window_max, self.present_frame,
+                      self.rot_ang, self.trans_dx, self.trans_dy, self.zoom,
+                      self.warp_a1, self.warp_a2, self.warp_b1, self.warp_b2,
+                      self.height_thresh], np.float32)
+        ])
+
+
+def unpack_params(vec) -> 'RasterParams':
+    """Device-side view of a packed (31,) parameter vector (inside jit)."""
+    s = vec[19:]
+    return RasterParams(
+        T_ref_world=vec[:16].reshape(4, 4), bev_coords=vec[16:19],
+        window_min=s[0].astype(jnp.int32),
+        window_max=s[1].astype(jnp.int32),
+        present_frame=s[2].astype(jnp.int32), rot_ang=s[3], trans_dx=s[4],
+        trans_dy=s[5], zoom=s[6], warp_a1=s[7], warp_a2=s[8], warp_b1=s[9],
+        warp_b2=s[10], height_thresh=s[11])
 
 
 def identity_params(T_ref_world=None, bev_coords=None, window=(0, 0),
                     present_frame=0, height_thresh=np.inf):
     T = np.eye(4, dtype=np.float32) if T_ref_world is None else T_ref_world
     c = np.zeros(3, np.float32) if bev_coords is None else bev_coords
-    f32 = np.float32
+    if height_thresh is None:
+        height_thresh = np.inf
     return RasterParams(
-        T_ref_world=jnp.asarray(T, jnp.float32),
-        bev_coords=jnp.asarray(c, jnp.float32),
-        window_min=jnp.int32(window[0]), window_max=jnp.int32(window[1]),
-        present_frame=jnp.int32(present_frame),
-        rot_ang=f32(0), trans_dx=f32(0), trans_dy=f32(0), zoom=f32(1),
-        warp_a1=f32(1), warp_a2=f32(0), warp_b1=f32(1), warp_b2=f32(0),
-        height_thresh=f32(height_thresh))
+        T_ref_world=np.asarray(T, np.float32),
+        bev_coords=np.asarray(c, np.float32),
+        window_min=int(window[0]), window_max=int(window[1]),
+        present_frame=int(present_frame),
+        rot_ang=0.0, trans_dx=0.0, trans_dy=0.0, zoom=1.0,
+        warp_a1=1.0, warp_a2=0.0, warp_b1=1.0, warp_b2=0.0,
+        height_thresh=float(height_thresh))
 
 
 # Channel order inside the warped map stack, per split.
@@ -84,7 +110,8 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
     P = pixel_size
     sem_idxs = dict(sem_idxs)
 
-    def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
+    def raster(points, valid, pt_frame_ids, inst_dyn, packed, gen_future):
+        params = unpack_params(packed)
         xyz = points[:, :3]
         # World -> BEV reference frame, shift to BEV origin
         # (kitti360_sem_pc_accum.py:192-213; the reference instead re-rotates

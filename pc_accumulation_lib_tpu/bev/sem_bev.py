@@ -155,13 +155,13 @@ class SemBEVGenerator:
                 dx, dy, zoom = 0.0, 0.0, 1.0
             w = self._draw_warp()
             params = base_params._replace(
-                rot_ang=jnp.float32(rot_ang), trans_dx=jnp.float32(dx),
-                trans_dy=jnp.float32(dy), zoom=jnp.float32(zoom),
-                warp_a1=jnp.float32(w['a1']), warp_a2=jnp.float32(w['a2']),
-                warp_b1=jnp.float32(w['b1']), warp_b2=jnp.float32(w['b2']),
-                height_thresh=jnp.float32(hf))
+                rot_ang=float(rot_ang), trans_dx=float(dx),
+                trans_dy=float(dy), zoom=float(zoom),
+                warp_a1=float(w['a1']), warp_a2=float(w['a2']),
+                warp_b1=float(w['b1']), warp_b2=float(w['b2']),
+                height_thresh=float(hf))
             stack = self._raster(points, valid, pt_frame_ids, inst_dyn,
-                                 params, gen_future)
+                                 params.pack(), gen_future)
             bev = self._assemble(np.asarray(stack), trajs, rot_ang, dx, dy,
                                  zoom * self.view_size, w, gen_future)
             bevs.append(bev)
@@ -220,12 +220,12 @@ class SemBEVGenerator:
         w = self._draw_warp()
         params = core.identity_params(window=(0, 1), present_frame=1,
                                       height_thresh=hf)._replace(
-            rot_ang=jnp.float32(rot_ang), trans_dx=jnp.float32(trans_dx),
-            trans_dy=jnp.float32(trans_dy), zoom=jnp.float32(zoom_scalar),
-            warp_a1=jnp.float32(w['a1']), warp_a2=jnp.float32(w['a2']),
-            warp_b1=jnp.float32(w['b1']), warp_b2=jnp.float32(w['b2']))
+            rot_ang=float(rot_ang), trans_dx=float(trans_dx),
+            trans_dy=float(trans_dy), zoom=float(zoom_scalar),
+            warp_a1=float(w['a1']), warp_a2=float(w['a2']),
+            warp_b1=float(w['b1']), warp_b2=float(w['b2']))
         inst_dyn = jnp.zeros((1,), jnp.float32)
-        stack = self._raster(points, valid, fids, inst_dyn, params,
+        stack = self._raster(points, valid, fids, inst_dyn, params.pack(),
                              gen_future)
         return self._assemble(np.asarray(stack), trajs, rot_ang, trans_dx,
                               trans_dy, zoom_scalar * self.view_size, w,

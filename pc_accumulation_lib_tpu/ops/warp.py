@@ -66,17 +66,21 @@ def warp_dense_maps(maps, a_1, a_2, b_1, b_2):
 
 def _inverse_quadratic(x, a_1, a_2):
     """Closed-form inverse of y = a1*x + a2*x^2 with the reference's
-    degenerate-case guard (bev_generator.py:570-581)."""
+    degenerate-case guard (bev_generator.py:570-581). Pure numpy: this runs
+    on tiny host-side trajectory arrays (device dispatch would cost a
+    round trip per call)."""
+    x = np.asarray(x, np.float64)
     disc = a_1 * a_1 + 4.0 * a_2 * x
-    inv = jnp.rint((-a_1 + jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a_2 + 1e-30))
-    return jnp.where(jnp.abs(a_2) < 1e-6, x, inv)
+    inv = np.rint((-a_1 + np.sqrt(np.maximum(disc, 0.0)))
+                  / (2.0 * a_2 + 1e-30))
+    return np.where(abs(a_2) < 1e-6, x, inv)
 
 
 def warp_points_xy(x, y, a_1, a_2, b_1, b_2, I, J):
     """Inverse-warp point coordinates, int-rounded and clipped like
-    warp_point (bev_generator.py:548-593)."""
-    xw = jnp.clip(_inverse_quadratic(x, a_1, a_2), 0, I - 1)
-    yw = jnp.clip(_inverse_quadratic(y, b_1, b_2), 0, J - 1)
+    warp_point (bev_generator.py:548-593). Host numpy."""
+    xw = np.clip(_inverse_quadratic(x, a_1, a_2), 0, I - 1)
+    yw = np.clip(_inverse_quadratic(y, b_1, b_2), 0, J - 1)
     return xw, yw
 
 
@@ -89,11 +93,12 @@ def warp_sparse_points(pnts, a_1, a_2, j_mid, j_warp, pixel_size):
     """
     j_warp_rev = pixel_size - j_warp
     b_1_rev, b_2_rev = cal_warp_params(j_warp_rev, j_mid, pixel_size - 1)
-    xw, yw = warp_points_xy(pnts[:, 0], pnts[:, 1], a_1, a_2, b_1_rev,
-                            b_2_rev, pixel_size, pixel_size)
+    xw, yw = warp_points_xy(np.asarray(pnts[:, 0]), np.asarray(pnts[:, 1]),
+                            a_1, a_2, b_1_rev, b_2_rev, pixel_size,
+                            pixel_size)
     out = np.asarray(pnts).copy()
-    out[:, 0] = np.asarray(xw)
-    out[:, 1] = np.asarray(yw)
+    out[:, 0] = xw
+    out[:, 1] = yw
     return out
 
 

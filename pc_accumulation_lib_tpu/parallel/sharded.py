@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pc_accumulation_lib_tpu import config as cfg
-from pc_accumulation_lib_tpu.bev.core import RasterParams
+from pc_accumulation_lib_tpu.bev import core as bev_core
 from pc_accumulation_lib_tpu.ops import geometry as geo
 from pc_accumulation_lib_tpu.ops import rasterize as ras
 from pc_accumulation_lib_tpu.ops import warp as warp_ops
@@ -36,9 +36,10 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     sem_idxs = dict(sem_idxs)
     all_axes = tuple(mesh.axis_names)
 
-    def shard_body(points, valid, pt_frame_ids, inst_dyn, params,
+    def shard_body(points, valid, pt_frame_ids, inst_dyn, packed,
                    gen_future):
         # --- local (per-shard) pipeline: identical math to bev/core ---
+        params = bev_core.unpack_params(packed)
         xyz = points[:, :3]
         ref = geo.homo_transform(params.T_ref_world, xyz) - params.bev_coords
         t = geo.geometric_transform(ref, params.rot_ang, params.trans_dx,
@@ -96,20 +97,22 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
 
     pt_spec = P(points_axis)
     rep_spec = P()
-    params_specs = RasterParams(*([rep_spec] * len(RasterParams._fields)))
 
     def build(gen_future):
         body = functools.partial(shard_body, gen_future=gen_future)
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=(pt_spec, pt_spec, pt_spec, rep_spec, params_specs),
+            in_specs=(pt_spec, pt_spec, pt_spec, rep_spec, rep_spec),
             out_specs=rep_spec)
 
     fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
 
     def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
+        packed = params.pack() if isinstance(params,
+                                             bev_core.RasterParams) \
+            else params
         return fns[bool(gen_future)](points, valid, pt_frame_ids, inst_dyn,
-                                     params)
+                                     jnp.asarray(packed))
 
     return raster
 

@@ -36,7 +36,7 @@ def test_sharded_raster_matches_single_device(rng):
     maps_single = core.unpack_maps(
         np.asarray(single(jnp.asarray(pts), jnp.asarray(valid),
                           jnp.asarray(fids), jnp.zeros(4, jnp.float32),
-                          params, True)), True)
+                          params.pack(), True)), True)
 
     shard_fn = sharded.make_sharded_raster_fn(mesh, 40.0, P, SEM_IDXS, 20.,
                                               20., 0.5)

@@ -36,8 +36,9 @@ def _compare(data, gen_future, **param_kw):
         b: core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5, backend=b)
         for b in ('scatter', 'sort')
     }
-    outs = {b: core.unpack_maps(np.asarray(f(*data, params, gen_future)),
-                                gen_future) for b, f in fns.items()}
+    outs = {b: core.unpack_maps(np.asarray(f(*data, params.pack(),
+                                           gen_future)), gen_future)
+            for b, f in fns.items()}
     assert set(outs['scatter']) == set(outs['sort'])
     for k in outs['scatter']:
         # f16 output quantum + f32 summation-order differences on intensity.
@@ -65,8 +66,8 @@ def test_sort_all_points_masked(data):
     params = core.identity_params(window=(100, 100), present_frame=100)
     f = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5,
                             backend='sort')
-    out = core.unpack_maps(np.asarray(f(pts, valid, fids, inst_dyn, params,
-                                        True)), True)
+    out = core.unpack_maps(np.asarray(f(pts, valid, fids, inst_dyn,
+                                        params.pack(), True)), True)
     # Empty input: Dirichlet prior 0.5 everywhere, elevation/rgb fill 0.
     np.testing.assert_allclose(np.asarray(out['road_full'], np.float32),
                                0.5)
