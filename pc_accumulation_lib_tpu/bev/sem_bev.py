@@ -146,7 +146,7 @@ class SemBEVGenerator:
         """
         randomize = self.do_aug if randomize is None else randomize
         hf = np.inf if self.height_filter is None else self.height_filter
-        bevs = []
+        draws, packed = [], []
         for _ in range(n_samples):
             if randomize:
                 rot_ang, dx, dy, zoom = self._draw_geom_aug()
@@ -160,11 +160,22 @@ class SemBEVGenerator:
                 warp_a1=float(w['a1']), warp_a2=float(w['a2']),
                 warp_b1=float(w['b1']), warp_b2=float(w['b2']),
                 height_thresh=float(hf))
-            stack = self._raster(points, valid, pt_frame_ids, inst_dyn,
-                                 params.pack(), gen_future)
-            bev = self._assemble(np.asarray(stack), trajs, rot_ang, dx, dy,
-                                 zoom * self.view_size, w, gen_future)
-            bevs.append(bev)
+            draws.append((rot_ang, dx, dy, zoom, w))
+            packed.append(params.pack())
+        # Dispatch all samples before fetching any: the device queue
+        # overlaps sample i+1's raster with sample i's host fetch
+        # (replaces the reference's multiprocessing.Pool fan-out,
+        # kitti360_sem_pc_accum.py:236-241). Measured faster than a single
+        # vmapped dispatch, whose batched sort serializes.
+        stacks = [
+            self._raster(points, valid, pt_frame_ids, inst_dyn, pk,
+                         gen_future) for pk in packed
+        ]
+        bevs = []
+        for stack, (rot_ang, dx, dy, zoom, w) in zip(stacks, draws):
+            bevs.append(self._assemble(np.asarray(stack), trajs, rot_ang,
+                                       dx, dy, zoom * self.view_size, w,
+                                       gen_future))
         return bevs
 
     def _process_trajs(self, traj_list, rot_ang, dx, dy, aug_view, w):
