@@ -257,3 +257,40 @@ class SemanticPointCloudAccumulator:
     def viz_bev(self, bev, file_path, rgbs: list = (), semsegs: list = ()):
         self.sem_bev_generator.viz_bev(bev, file_path, list(rgbs),
                                        list(semsegs))
+
+    def get_vector_space(self):
+        """Fetch the accumulated in-window world-frame cloud as a numpy
+        (N,10) array (analogue of concatenating sem_pcs,
+        sem_pc_accum.py:417-422)."""
+        pts = np.asarray(self.state.points).reshape(-1, cfg.PT_DIM)
+        valid = np.asarray(self.state.valid).reshape(-1)
+        fids = np.repeat(np.asarray(self.state.frame_ids),
+                         self.state.points.shape[1])
+        keep = valid & (fids >= self.window_start)
+        return pts[keep]
+
+    def viz_sem_vec_space(self, file_path: str = 'sem_vec_space.ply',
+                          color: str = 'rgb'):
+        """Export the accumulated semantic vector space + ego path.
+
+        Offscreen PLY replacement for the interactive Open3D viewer
+        (sem_pc_accum.py:417-465, nuscenes_oracle_sem_pc_accum.py:612-698
+        'dyn'/'rgb' colouring modes).
+        """
+        from pc_accumulation_lib_tpu.utils.ply import write_ply
+        pts = self.get_vector_space()
+        if color == 'dyn':
+            # yellow = dynamic, blue = static (reference :646-657).
+            dyn = np.maximum(
+                pts[:, cfg.PT_DYN],
+                np.asarray(self.state.inst_dyn)[
+                    np.clip(pts[:, cfg.PT_INST].astype(int), 0,
+                            self.state.inst_dyn.shape[0] - 1)])
+            rgb = np.where(dyn[:, None] > 0.5,
+                           np.array([[253, 231, 36]]),
+                           np.array([[68, 2, 85]]))
+        else:
+            rgb = pts[:, cfg.PT_R:cfg.PT_B + 1]
+        write_ply(file_path, pts[:, :3], rgb)
+        np.savetxt(file_path + '.poses.txt', np.array(self.poses))
+        return pts.shape[0]

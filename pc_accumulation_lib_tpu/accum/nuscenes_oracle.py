@@ -191,3 +191,34 @@ class NuScenesOracleSemanticPointCloudAccumulator(
     def get_split_dyn_obj_trajs(self, split_idx, skip_ego_traj=True):
         """Reference-parity accessor (reference :272-287)."""
         return self.tracker.get_split_dyn_obj_trajs(split_idx)
+
+    def get_dyn_obj_trajs(self, ts_start: int = 0, ts_end=None,
+                          skip_ego_traj: bool = True):
+        """(reference :289-340)"""
+        return self.tracker.get_dyn_obj_trajs(
+            ts_start, ts_end,
+            ego_poses=None if skip_ego_traj else self.poses)
+
+    def viz_gt_lane_map(self, file_path: str = 'gt_lane_map.png',
+                        grid_spacing: float = 50):
+        """Lane-map plot (reference :104-137), saved to file instead of
+        plt.show()."""
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        x0 = y0 = np.inf
+        x1 = y1 = -np.inf
+        for lane in self.gt_lane_poses or []:
+            plt.plot(lane[:, 0], lane[:, 1])
+            x0, y0 = min(x0, lane[:, 0].min()), min(y0, lane[:, 1].min())
+            x1, y1 = max(x1, lane[:, 0].max()), max(y1, lane[:, 1].max())
+        if np.isfinite(x0):
+            x0, y0 = (x0 // 10) * 10, (y0 // 10) * 10
+            x1 = (x1 // 10) * 10 + grid_spacing
+            y1 = (y1 // 10) * 10 + grid_spacing
+            plt.grid()
+            plt.xticks(np.arange(x0, x1, grid_spacing))
+            plt.yticks(np.arange(y0, y1, grid_spacing))
+        plt.savefig(file_path)
+        plt.clf()
+        plt.close()

@@ -332,3 +332,33 @@ def inst_centric_get_sweeps(nusc, sample_token: str, n_sweeps: int,
         out['instances_last_box'] = last_box
         out['instances_name'] = np.array(instances_name)
     return out
+
+
+def render_ego_centric_map(map_mask, pose, axes_limit: float = 40):
+    """Render the map patch centered on the ego pose (reference :547-608):
+    crop around the ego pixel, rotate to heading-up, re-crop, recolour.
+    (The reference's torch-based load_data_to_tensor is intentionally
+    dropped — downstream consumers take numpy.)"""
+    import math
+
+    from PIL import Image
+    from pyquaternion import Quaternion
+
+    def crop_image(image, x_px, y_px, axes_limit_px):
+        return image[int(y_px - axes_limit_px):int(y_px + axes_limit_px),
+                     int(x_px - axes_limit_px):int(x_px + axes_limit_px)]
+
+    pixel_coords = map_mask.to_pixel_coords(pose['translation'][0],
+                                            pose['translation'][1])
+    scaled_limit_px = int(axes_limit * (1.0 / map_mask.resolution))
+    mask_raster = map_mask.mask()
+    cropped = crop_image(mask_raster, pixel_coords[0], pixel_coords[1],
+                         int(scaled_limit_px * math.sqrt(2)))
+    ypr_rad = Quaternion(pose['rotation']).yaw_pitch_roll
+    yaw_deg = -math.degrees(ypr_rad[0]) + 90
+    rotated = np.array(Image.fromarray(cropped).rotate(yaw_deg))
+    ego_map = crop_image(rotated, int(rotated.shape[1] / 2),
+                         int(rotated.shape[0] / 2), scaled_limit_px)
+    ego_map[ego_map == map_mask.foreground] = 125
+    ego_map[ego_map == map_mask.background] = 255
+    return ego_map
