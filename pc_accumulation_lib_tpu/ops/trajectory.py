@@ -37,6 +37,11 @@ def _box_intersection(x_in, y_in, x_out, y_out, bbox):
         t = min(t, (by1 - y_in) / dy)
     elif dy < 0:
         t = min(t, (by0 - y_in) / dy)
+    # Land strictly INSIDE the box by ~1e-6 m: the reference's bisection
+    # terminates within 1e-4 of the edge, and downstream pos2grid floors —
+    # an exact-on-edge point would round into the out-of-raster pixel.
+    seg_len = max((dx * dx + dy * dy) ** 0.5, 1e-12)
+    t = max(t - 1e-6 / seg_len, 0.0)
     return x_in + t * dx, y_in + t * dy
 
 
