@@ -109,6 +109,8 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
     """
     P = pixel_size
     sem_idxs = dict(sem_idxs)
+    # Pallas segmented-stats kernel on real TPU; XLA fallback elsewhere.
+    use_pallas = jax.default_backend() == 'tpu'
 
     def raster(points, valid, pt_frame_ids, inst_dyn, packed, gen_future):
         params = unpack_params(packed)
@@ -151,7 +153,7 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
             base_m = static_m if gen_future else (static_m & present_m)
             chs = sort_raster.sorted_split_stats(
                 cells, base_m, ~present_m, z, inten, rgb, sem, sem_idxs,
-                P, gen_future, rgb_fill=rgb_fill)
+                P, gen_future, rgb_fill=rgb_fill, use_pallas=use_pallas)
             stack = []
             for name in meta:
                 stack += [chs[f'road_{name}'], chs[f'intensity_{name}'],

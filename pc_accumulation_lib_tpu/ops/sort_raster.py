@@ -60,7 +60,8 @@ def _median_from_sorted(packed_sorted, starts, lens, fill_value, base=256):
 
 
 def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
-                       sem_idxs, pixel_size, gen_future, rgb_fill=0):
+                       sem_idxs, pixel_size, gen_future, rgb_fill=0,
+                       use_pallas=False, pallas_interpret=False):
     """All channel families for all time splits via the sort formulation.
 
     Args:
@@ -94,14 +95,28 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
         (c2, z.astype(jnp.float32), int_road, road_f, dyn_f), num_keys=2)
     s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
 
-    starts, ends = _boundaries(s_c2, sent)
-    lens = (ends - starts).astype(jnp.float32)          # (sent,)
-    road_c = _range_sums(s_road, starts, ends)
-    dyn_c = _range_sums(s_dyn, starts, ends)
-    int_s = _range_sums(s_int, starts, ends)
-    n_total = s_c2.shape[0]
-    zmin = s_z[jnp.clip(starts, 0, n_total - 1)]
-    zmin = jnp.where(lens > 0, zmin, jnp.inf)
+    if use_pallas and sent % 512 == 0:
+        # One bandwidth-bound Pallas pass for every sum + the z-min
+        # (ops/pallas_stats.py) instead of cumsums + a per-group
+        # searchsorted; the median boundary table comes from the counts.
+        from pc_accumulation_lib_tpu.ops import pallas_stats
+        sums, zmin = pallas_stats.segmented_stats(
+            s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z, sent,
+            interpret=pallas_interpret)
+        lens = sums[:, 0]
+        road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
+        ends = jnp.cumsum(lens.astype(jnp.int32))
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+        zmin = jnp.where(lens > 0, zmin, jnp.inf)
+    else:
+        starts, ends = _boundaries(s_c2, sent)
+        lens = (ends - starts).astype(jnp.float32)          # (sent,)
+        road_c = _range_sums(s_road, starts, ends)
+        dyn_c = _range_sums(s_dyn, starts, ends)
+        int_s = _range_sums(s_int, starts, ends)
+        n_total = s_c2.shape[0]
+        zmin = s_z[jnp.clip(starts, 0, n_total - 1)]
+        zmin = jnp.where(lens > 0, zmin, jnp.inf)
 
     def per_split(vec):
         """(sent,) -> dict split -> (P*P,)."""

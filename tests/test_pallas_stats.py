@@ -1,0 +1,73 @@
+"""Pallas windowed segmented-stats kernel vs numpy oracle (interpret mode
+on the CPU test backend; the same kernel compiles natively on TPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pc_accumulation_lib_tpu.ops import pallas_stats as ps
+
+G = 2048  # multiple of WIN
+
+
+@pytest.mark.parametrize('n', [1000, 4096])
+def test_segmented_stats_matches_numpy(rng, n):
+    keys = np.sort(rng.integers(0, G, size=n)).astype(np.int32)
+    w1 = rng.uniform(size=n).astype(np.float32)
+    w2 = (rng.uniform(size=n) > 0.5).astype(np.float32)
+    z = rng.normal(size=n).astype(np.float32)
+    sums, zmin = ps.segmented_stats(
+        jnp.asarray(keys), [jnp.ones(n, jnp.float32), jnp.asarray(w1),
+                            jnp.asarray(w2)], jnp.asarray(z), G,
+        interpret=True)
+    sums, zmin = np.asarray(sums), np.asarray(zmin)
+    np.testing.assert_allclose(sums[:, 0], np.bincount(keys, minlength=G))
+    np.testing.assert_allclose(sums[:, 1],
+                               np.bincount(keys, weights=w1, minlength=G),
+                               atol=1e-3)
+    np.testing.assert_allclose(sums[:, 2],
+                               np.bincount(keys, weights=w2, minlength=G),
+                               atol=1e-5)
+    zm = np.full(G, np.inf)
+    np.minimum.at(zm, keys, z)
+    np.testing.assert_allclose(np.nan_to_num(zmin, posinf=1e9),
+                               np.nan_to_num(zm, posinf=1e9), atol=1e-6)
+
+
+def test_empty_groups_and_sentinels(rng):
+    # All keys in one group; sentinels (== G) excluded.
+    n = 700
+    keys = np.full(n, 3, np.int32)
+    z = rng.normal(size=n).astype(np.float32)
+    sums, zmin = ps.segmented_stats(jnp.asarray(keys),
+                                    [jnp.ones(n, jnp.float32)],
+                                    jnp.asarray(z), G, interpret=True)
+    assert float(sums[3, 0]) == n
+    assert float(np.asarray(sums)[:, 0].sum()) == n
+    np.testing.assert_allclose(float(zmin[3]), z.min(), atol=1e-6)
+    assert np.isinf(np.asarray(zmin)[4])
+
+
+def test_sort_raster_pallas_matches_xla(rng):
+    """sorted_split_stats(use_pallas=True, interpret) must equal the pure
+    XLA path."""
+    from pc_accumulation_lib_tpu.ops import sort_raster
+    P = 32
+    n = 3000
+    cells = jnp.asarray(rng.integers(0, P * P, size=n), jnp.int32)
+    static_m = jnp.asarray(rng.uniform(size=n) > 0.2)
+    is_fut = jnp.asarray(rng.uniform(size=n) > 0.5)
+    z = jnp.asarray(rng.normal(size=n), jnp.float32)
+    inten = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    rgb = jnp.asarray(rng.integers(0, 256, size=(n, 3)), jnp.float32)
+    sem = jnp.asarray(rng.choice([0, 1, 13], size=n), jnp.float32)
+    sem_idxs = {'road': 0, 'car': 13, 'truck': 14, 'bus': 15,
+                'motorcycle': 17}
+    kw = dict(sem_idxs=sem_idxs, pixel_size=P, gen_future=True)
+    a = sort_raster.sorted_split_stats(cells, static_m, is_fut, z, inten,
+                                       rgb, sem, use_pallas=False, **kw)
+    b = sort_raster.sorted_split_stats(cells, static_m, is_fut, z, inten,
+                                       rgb, sem, use_pallas=True,
+                                       pallas_interpret=True, **kw)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
+                                   atol=2e-4, err_msg=k)
