@@ -8,7 +8,7 @@ replacing the per-script argparse blocks of the reference
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 # Cityscapes-style 19-class trainId vocabulary used by the semseg model
 # (reference: run_kitti360_bev_gen.py:78-97).

@@ -12,8 +12,6 @@ all-boxes-at-once containment test (SURVEY.md hard part 6).
 from __future__ import annotations
 
 import os.path as osp
-from typing import List, Optional
-
 import numpy as np
 import numpy.linalg as LA
 

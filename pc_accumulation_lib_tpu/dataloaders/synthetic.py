@@ -13,7 +13,7 @@ accumulation + ICP + BEV generation exercise the full pipeline.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import PIL.Image as Image

@@ -12,8 +12,6 @@ import os
 from time import ctime
 from typing import List, Optional
 
-import numpy as np
-
 from pc_accumulation_lib_tpu import config as cfg
 from pc_accumulation_lib_tpu.parallel.manifest import (CompletionManifest,
                                                        shard_units)

@@ -6,8 +6,6 @@ external viewers.
 """
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 
