@@ -45,6 +45,8 @@ def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
 
     Returns counters {frames, bevs}. ``on_bev(bev, path)`` optional hook.
     """
+    from pc_accumulation_lib_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer()
     bev_idx = 0
     subdir_idx = 0
     bev_count = 0
@@ -56,7 +58,8 @@ def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
             AsyncPickleWriter)
         writer = AsyncPickleWriter()
     for sample_idx, observations in enumerate(dataloader):
-        num_obs_removed = sem_pc_accum.integrate(observations)
+        with timer.phase('integrate'):
+            num_obs_removed = sem_pc_accum.integrate(observations)
         frames += len(observations)
         previous_idx -= num_obs_removed
         previous_idx = max(previous_idx, 0)
@@ -87,9 +90,10 @@ def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
               f' back {incr_path_dists[present_idx]:.1f} |',
               f'front {fut_dist:.1f}')
 
-        bevs = sem_pc_accum.generate_bev(present_idx,
-                                         sampling.bevs_per_sample,
-                                         gen_future=gen_future)
+        with timer.phase('generate_bev'):
+            bevs = sem_pc_accum.generate_bev(present_idx,
+                                             sampling.bevs_per_sample,
+                                             gen_future=gen_future)
         rgbs = sem_pc_accum.get_rgb(present_idx)
         semsegs = sem_pc_accum.get_semseg(present_idx)
 
@@ -101,19 +105,25 @@ def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
             output_path = os.path.join(output.output_dir,
                                        f'subdir{subdir_idx:03d}')
             os.makedirs(output_path, exist_ok=True)
-            if writer is not None:
-                writer.write(bev, filename, output_path)
-            else:
-                write_compressed_pickle(bev, filename, output_path)
+            with timer.phase('write'):
+                if writer is not None:
+                    writer.write(bev, filename, output_path)
+                else:
+                    write_compressed_pickle(bev, filename, output_path)
             if output.viz_to_disk:
                 viz_file = os.path.join(output_path, f'viz_{bev_idx:03d}.png')
-                sem_pc_accum.viz_bev(bev, viz_file, rgbs, semsegs)
+                with timer.phase('viz'):
+                    sem_pc_accum.viz_bev(bev, viz_file, rgbs, semsegs)
             if on_bev is not None:
                 on_bev(bev, os.path.join(output_path, filename))
             bev_idx += 1
             bev_count += 1
     if writer is not None:
-        writer.wait()
+        with timer.phase('write_drain'):
+            writer.wait()
+    if bev_count:
+        print('--- phase timing ---')
+        print(timer.report())
     return {'frames': frames, 'bevs': bev_count}
 
 
