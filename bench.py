@@ -58,7 +58,7 @@ def main():
                       max_trans_radius=3.0, zoom_thresh=0.05, do_warp=True,
                       int_scaler=20., int_sep_scaler=20.,
                       int_mid_threshold=0.5, height_filter=None)
-    bevs_per_sample = 4
+    bevs_per_sample = 8
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(
         40.0, calib, 1e3, model, cfg.DEFAULT_SEMSEG_FILTERS,
