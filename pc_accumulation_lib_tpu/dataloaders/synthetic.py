@@ -106,10 +106,15 @@ class SyntheticKitti360Stream:
 
     def __init__(self, n_frames: int = 30, step: float = 2.0,
                  lidar_range: float = 60.0, seed: int = 0,
-                 points_per_frame: Optional[int] = None):
+                 points_per_frame: Optional[int] = None,
+                 yaw_rate: float = 0.0):
+        """``yaw_rate`` [rad/frame] > 0 drives a curved trajectory: the ego
+        frame rotates, exercising ICP rotation recovery, the world pose
+        chain, and heading-aligned BEV extraction."""
         self.n_frames = n_frames
         self.step = step
         self.lidar_range = lidar_range
+        self.yaw_rate = yaw_rate
         rng = np.random.default_rng(seed)
         length = n_frames * step + 2 * lidar_range
         scale = 1.0
@@ -121,17 +126,36 @@ class SyntheticKitti360Stream:
             n_car=int(600 * scale), length=length)
         self._rng = rng
 
+    def ego_yaw(self, idx: int) -> float:
+        return self.yaw_rate * idx
+
     def ego_pose(self, idx: int) -> np.ndarray:
-        """World-frame ego position at frame idx."""
-        return np.array([self.lidar_range + idx * self.step, 0.0, EGO_Z])
+        """World-frame ego position at frame idx (arc when yaw_rate != 0;
+        the world remains the straight-road corridor, so keep yaw_rate
+        small enough that the arc stays within it)."""
+        if self.yaw_rate == 0.0:
+            return np.array([self.lidar_range + idx * self.step, 0.0,
+                             EGO_Z])
+        xy = np.zeros(2)
+        for k in range(idx):
+            yaw = self.ego_yaw(k)
+            xy += self.step * np.array([np.cos(yaw), np.sin(yaw)])
+        return np.array([self.lidar_range + xy[0], xy[1], EGO_Z])
 
     def frame(self, idx: int):
-        """Observation tuple for frame idx (ego frame = world translated)."""
+        """Observation tuple for frame idx, points in the TRUE (rotated)
+        ego frame."""
         pose = self.ego_pose(idx)
         rel = self.world - pose[None, :]
         r = np.linalg.norm(rel[:, :2], axis=1)
         m = r < self.lidar_range
-        pc = np.concatenate([rel[m], self.world_int[m][:, None]],
+        rel = rel[m]
+        yaw = self.ego_yaw(idx)
+        if yaw != 0.0:
+            c, s = np.cos(-yaw), np.sin(-yaw)
+            rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+            rel = rel @ rot.T
+        pc = np.concatenate([rel, self.world_int[m][:, None]],
                             axis=1).astype(np.float32)
         sem_gt = self.world_sem[m][:, None].copy()
         img = self.render_image(idx)

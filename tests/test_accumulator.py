@@ -181,3 +181,33 @@ def test_frame_overflow_raises(stream):
     with pytest.raises(RuntimeError, match='overflow'):
         for obs in stream:
             accum.integrate(obs)
+
+
+def test_curved_trajectory_rotation_recovery():
+    """Curved path: ICP must recover per-frame yaw and the world pose chain
+    must reproduce the true arc (tests rotation handling end-to-end)."""
+    yaw_rate = 0.05  # rad/frame (~2.9 deg)
+    stream = SyntheticKitti360Stream(n_frames=10, step=2.0,
+                                     lidar_range=25.0, seed=5,
+                                     yaw_rate=yaw_rate,
+                                     points_per_frame=3000)
+    accum = make_accum()
+    from pc_accumulation_lib_tpu.dataloaders.kitti360 import (ID2TRAINID,
+                                                              conv_semantic_ids)
+    for obs in stream:
+        img, pc, sem_gt = obs[0]
+        sem_gt = conv_semantic_ids(sem_gt.astype(np.int64), ID2TRAINID)
+        accum.integrate([(img, pc, sem_gt)])
+    poses = accum.get_pose()
+    true_poses = np.stack([stream.ego_pose(i) for i in range(10)])
+    # World frame = first ego frame: true arc relative to frame 0.
+    rel_true = true_poses - true_poses[0]
+    np.testing.assert_allclose(poses, rel_true, atol=0.5)
+    # Recovered yaw from the velo->world chain matches the commanded arc.
+    yaws = [np.arctan2(T[1, 0], T[0, 0]) for T in accum.T_world_velo]
+    np.testing.assert_allclose(yaws, yaw_rate * np.arange(10), atol=0.05)
+    # BEV generation on the curved window produces valid maps with the
+    # heading-aligned rotation.
+    bev = accum.generate_bev(present_idx=6, bev_num=1, gen_future=True)[0]
+    road = np.asarray(bev['road_full'], np.float32)
+    assert road.max() > 0.8
