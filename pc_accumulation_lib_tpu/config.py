@@ -104,7 +104,7 @@ class ICPConfig:
                                      # (first half untrimmed, then annealed
                                      # trim; see ops/icp.py)
     downsample_voxel: float = 0.5    # voxel size for grid downsample [m]
-    max_downsampled: int = 16384     # fixed downsampled cloud capacity
+    max_downsampled: int = 8192      # fixed downsampled cloud capacity
     normal_neighbors: int = 10       # k-NN for covariance normals
 
 
