@@ -29,6 +29,55 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 
+def bench_nuscenes_oracle():
+    """BASELINE config 2: oracle-pose 6-camera accumulation + BEV sampling
+    on a synthetic NuScenes-format stream. Secondary mode
+    (`python bench.py nuscenes_oracle`)."""
+    import jax
+
+    from pc_accumulation_lib_tpu import config as cfg
+    from pc_accumulation_lib_tpu.accum.nuscenes_oracle import (
+        NuScenesOracleSemanticPointCloudAccumulator)
+    from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+        SyntheticNuScenesStream)
+    from pc_accumulation_lib_tpu.models.semseg import SemSegTPU
+
+    n_frames = 20
+    stream = SyntheticNuScenesStream(n_frames=n_frames, step=2.0,
+                                     lidar_range=50.0, seed=0,
+                                     img_hw=(448, 800))
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=65536, max_frames=32,
+                                max_painted_points_per_frame=49152)
+    model = SemSegTPU(seed=0)
+    accum = NuScenesOracleSemanticPointCloudAccumulator(
+        semseg_model=model,
+        semseg_filters=(10, 11, 12, 16, 18),
+        bev_params=dict(type='sem', view_size=80, pixel_size=256,
+                        int_scaler=1., int_sep_scaler=30.,
+                        int_mid_threshold=0.12),
+        loc='synth', accum_cfg=accum_cfg, seed=0)
+    frames = [stream.frame(i) for i in range(n_frames)]
+    for i in range(4):
+        accum.integrate([frames[i]])
+    _ = accum.generate_bev(present_idx=2, bev_num=1, gen_future=True)
+    jax.effects_barrier()
+    t0 = time.perf_counter()
+    n_samples = 0
+    for i in range(4, n_frames):
+        accum.integrate([frames[i]])
+        bevs = accum.generate_bev(present_idx=len(accum.poses) - 2,
+                                  bev_num=1, gen_future=True)
+        n_samples += len(bevs)
+    jax.effects_barrier()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        'metric': 'nuscenes_oracle_bev_samples_per_sec_per_chip',
+        'value': round(n_samples / dt, 3),
+        'unit': 'samples/s',
+        'vs_baseline': round(n_samples / dt / 50.0, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -105,6 +154,9 @@ if __name__ == '__main__':
         if not (a and isinstance(a[0], str) and a[0].startswith('{')) \
         else _orig_print(*a, **k)
     try:
-        main()
+        if len(sys.argv) > 1 and sys.argv[1] == 'nuscenes_oracle':
+            bench_nuscenes_oracle()
+        else:
+            main()
     finally:
         builtins.print = _orig_print

@@ -69,6 +69,8 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             T_world = jnp.matmul(
                 T_world_prev, jnp.linalg.inv(T_new_prev),
                 precision=jax.lax.Precision.HIGHEST)
+            if imgs.dtype == jnp.uint8:  # quantized transfer
+                imgs = imgs.astype(jnp.float32)
             logits = model.model.apply(variables, imgs, train=False)
             semsegs = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             inst_remap = jnp.zeros((2,), jnp.int32)  # no instances (N,9 row
@@ -111,7 +113,7 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         ci_p = -np.ones(n_pad, np.int32)
         ci_p[:pc.shape[0]] = np.asarray(obs['pc_cam_idx'], np.int32)
         valid = np.arange(n_pad) < pc.shape[0]
-        imgs = np.stack([np.asarray(im, np.float32)[..., :3]
+        imgs = np.stack([np.asarray(im)[..., :3].astype(np.uint8)
                          for im in obs['images']])
         first = self._icp_prev_cloud is None
         prev = self._icp_prev_cloud

@@ -72,6 +72,8 @@ class NuScenesOracleSemanticPointCloudAccumulator(
 
         def step(state, variables, pc_pad, valid, cam_idx, imgs,
                  T_world_ego, inst_remap, dyn_updates, frame_id):
+            if imgs.dtype == jnp.uint8:  # quantized transfer
+                imgs = imgs.astype(jnp.float32)
             logits = model.model.apply(variables, imgs, train=False)
             semsegs = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             painted, valid_out = buffer.paint_frame_multicam(
@@ -146,7 +148,8 @@ class NuScenesOracleSemanticPointCloudAccumulator(
         ci_p = -np.ones(n_pad, np.int32)
         ci_p[:pc.shape[0]] = pc_cam_idx
         valid = np.arange(n_pad) < pc.shape[0]
-        imgs = np.stack([np.asarray(im, np.float32)[..., :3]
+        # uint8 image upload (4x fewer bytes host->device; cast on device).
+        imgs = np.stack([np.asarray(im)[..., :3].astype(np.uint8)
                          for im in obs['images']])
         self.state, n_valid, semsegs = self._fused(
             self.state, self.semseg_model.variables, jnp.asarray(pc_p),
