@@ -11,7 +11,8 @@ generate_bev (bev_generator.py:63-160, sem_bev.py:36-262):
 
 over the flat fixed-capacity point buffer, with every subset expressed as a
 mask. Augmentation fan-out (`bevs_per_sample`, reference multiprocessing.Pool
-at kitti360_sem_pc_accum.py:236-241) is a vmap over parameter batches.
+at kitti360_sem_pc_accum.py:236-241) is a dispatch-ahead loop of these
+raster calls (bev/sem_bev.generate_samples).
 """
 from __future__ import annotations
 
@@ -103,9 +104,9 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
 
     Returned fn signature:
       fn(points (M,10), valid (M,), pt_frame_ids (M,) i32,
-         inst_dyn (K,) f32, params: RasterParams, gen_future: static bool)
-      -> dict of (P,P)/(3,P,P) float32 maps keyed road/intensity/rgb/
-         dynamic/elevation x present[/future/full].
+         inst_dyn (K,) f32, packed: (31,) f32 (RasterParams.pack()),
+         gen_future: static bool)
+      -> (C,P,P) float16 channel stack; unpack host-side with unpack_maps.
     """
     P = pixel_size
     sem_idxs = dict(sem_idxs)
