@@ -117,11 +117,16 @@ def main():
     frames = [stream.frame(i) for i in range(n_frames)]
 
     # Warmup: triggers all compiles (semseg, paint, ICP, insert, raster).
+    t_warm = time.perf_counter()
     for i in range(warmup_frames):
         accum.integrate([frames[i]])
     _ = accum.generate_bev(present_idx=len(accum.poses) - 2,
                            bev_num=bevs_per_sample, gen_future=True)
     jax.effects_barrier()
+    # Cold compile cache: shorten the timed phase so the run still finishes
+    # inside a driver timeout (steady-state rate is unaffected).
+    if time.perf_counter() - t_warm > 240:
+        n_frames = warmup_frames + 6
 
     # Timed steady-state: one integrate + bevs_per_sample augmented BEV
     # samples per iteration (semseg + ICP + accumulate + rasterize + warp).
