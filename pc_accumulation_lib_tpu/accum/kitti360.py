@@ -58,6 +58,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._icp_reg = icp_ops.make_register_fn(self.icp_cfg.num_iters)
         self._icp_prev_cloud = None
         self._T_world_velo_last = np.eye(4)
+        self._T_new_prev_last = np.eye(4)
         self.transfer_dtype = transfer_dtype
         self._fused = self._build_fused_step()
 
@@ -83,16 +84,18 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 return pc_pad.astype(jnp.float32) * (1.0 / 200.0)
             return pc_pad
 
-        def common(state, prev_cloud, T_world_prev, pc_pad, valid, frame_id,
-                   first, painted_fn):
+        warm = self.icp_cfg.warm_start
+
+        def common(state, prev_cloud, T_world_prev, T_init, pc_pad, valid,
+                   frame_id, first, painted_fn):
             new_cloud = self._icp_pre(pc_pad[:, :3], valid)
             if first:
                 T_new_prev = jnp.eye(4, dtype=jnp.float32)
                 n_corr = jnp.float32(0)
             else:
+                init = T_init if warm else jnp.eye(4, dtype=jnp.float32)
                 T_new_prev, _, n_corr = self._icp_reg(
-                    prev_cloud, new_cloud,
-                    jnp.eye(4, dtype=jnp.float32), max_corr)
+                    prev_cloud, new_cloud, init, max_corr)
             T_world = jnp.matmul(
                 T_world_prev, jnp.linalg.inv(T_new_prev.astype(jnp.float32)),
                 precision=jax.lax.Precision.HIGHEST)
@@ -105,8 +108,8 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 jnp.stack([n_valid.astype(jnp.float32), n_corr])])
             return state, new_cloud, packed
 
-        def camera_step(state, prev_cloud, T_world_prev, variables, pc_pad,
-                        valid, rgb_img, frame_id, first):
+        def camera_step(state, prev_cloud, T_world_prev, T_init, variables,
+                        pc_pad, valid, rgb_img, frame_id, first):
             pc_pad = dequant(pc_pad)
             if rgb_img.dtype == jnp.uint8:  # quantized transfer
                 rgb_img = rgb_img.astype(jnp.float32)
@@ -118,18 +121,18 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 return buffer.paint_frame_camera(
                     pc_pad, valid, rgb_img, semseg, P_velo_frame, T_world,
                     filters)
-            return common(state, prev_cloud, T_world_prev, pc_pad, valid,
-                          frame_id, first, painted_fn)
+            return common(state, prev_cloud, T_world_prev, T_init, pc_pad,
+                          valid, frame_id, first, painted_fn)
 
-        def gt_step(state, prev_cloud, T_world_prev, pc_pad, valid, sem_gt,
-                    frame_id, first):
+        def gt_step(state, prev_cloud, T_world_prev, T_init, pc_pad, valid,
+                    sem_gt, frame_id, first):
             pc_pad = dequant(pc_pad)
 
             def painted_fn(T_world):
                 return buffer.paint_frame_gt(pc_pad, valid, sem_gt, T_world,
                                              filters)
-            return common(state, prev_cloud, T_world_prev, pc_pad, valid,
-                          frame_id, first, painted_fn)
+            return common(state, prev_cloud, T_world_prev, T_init, pc_pad,
+                          valid, frame_id, first, painted_fn)
 
         if self.use_gt_sem or model is None:
             return jax.jit(gt_step, static_argnames=('first',),
@@ -196,6 +199,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 normals=jnp.zeros((self.icp_cfg.max_downsampled, 3)),
                 valid=jnp.zeros((self.icp_cfg.max_downsampled,), bool))
         T_world_prev = jnp.asarray(self._T_world_velo_last, jnp.float32)
+        T_init = jnp.asarray(self._T_new_prev_last, jnp.float32)
         fid = jnp.int32(self.frame_count)
 
         if self.use_gt_sem or self.semseg_model is None:
@@ -204,12 +208,12 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                                 np.float32)
             sem_flat[:pc.shape[0]] = np.asarray(sem_gt).reshape(-1)
             state, new_cloud, packed = self._fused(
-                self.state, prev_cloud, T_world_prev, pc_pad, valid,
+                self.state, prev_cloud, T_world_prev, T_init, pc_pad, valid,
                 jnp.asarray(sem_flat), fid, first)
         else:
             rgb_arr = self._prep_rgb(rgb)
             state, new_cloud, packed = self._fused(
-                self.state, prev_cloud, T_world_prev,
+                self.state, prev_cloud, T_world_prev, T_init,
                 self.semseg_model.variables, pc_pad, valid, rgb_arr, fid,
                 first)
             semseg = None  # class map stays on device; viz refetches lazily
@@ -227,5 +231,6 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 'AccumConfig.max_painted_points_per_frame (points must not '
                 'be silently dropped).')
         self._T_world_velo_last = T_world_velo
+        self._T_new_prev_last = T_new_prev
         self._append_frame_meta(T_world_velo, rgb, semseg)
         return None, self.poses[-1], semseg, T_new_prev

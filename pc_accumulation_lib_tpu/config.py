@@ -106,6 +106,10 @@ class ICPConfig:
     downsample_voxel: float = 0.5    # voxel size for grid downsample [m]
     max_downsampled: int = 8192      # fixed downsampled cloud capacity
     normal_neighbors: int = 10       # k-NN for covariance normals
+    # Initialize each solve from the previous frame's transform
+    # (constant-velocity prior) instead of the reference's identity init
+    # (sem_pc_accum.py:88) — more robust at larger inter-frame motion.
+    warm_start: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
