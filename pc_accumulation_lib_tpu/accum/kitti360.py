@@ -55,7 +55,12 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._icp_pre = icp_ops.make_preprocess_fn(
             self.icp_cfg.downsample_voxel, self.icp_cfg.max_downsampled,
             self.icp_cfg.normal_neighbors)
-        self._icp_reg = icp_ops.make_register_fn(self.icp_cfg.num_iters)
+        if self.icp_cfg.coarse_to_fine:
+            self._icp_reg = icp_ops.make_coarse_to_fine_register_fn(
+                self.icp_cfg.num_iters,
+                coarse_factor=self.icp_cfg.coarse_factor)
+        else:
+            self._icp_reg = icp_ops.make_register_fn(self.icp_cfg.num_iters)
         self._icp_prev_cloud = None
         self._T_world_velo_last = np.eye(4)
         self._T_new_prev_last = np.eye(4)

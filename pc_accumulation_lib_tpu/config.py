@@ -110,6 +110,10 @@ class ICPConfig:
     # (constant-velocity prior) instead of the reference's identity init
     # (sem_pc_accum.py:88) — more robust at larger inter-frame motion.
     warm_start: bool = False
+    # Coarse-to-fine: seed the full solve from a strided-subcloud solve
+    # (widens the convergence basin for large motion; ops/icp.py).
+    coarse_to_fine: bool = False
+    coarse_factor: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

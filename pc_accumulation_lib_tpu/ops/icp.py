@@ -180,6 +180,34 @@ def make_register_fn(num_iters=12, damping=1e-6, trim_ratio=0.9):
     return register
 
 
+def make_coarse_to_fine_register_fn(num_iters=16, damping=1e-6,
+                                    trim_ratio=0.9, coarse_factor=8,
+                                    coarse_iters=10):
+    """Two-stage registration: a coarse solve on strided sub-clouds (cheap
+    — the pairwise matrix shrinks by coarse_factor^2) seeds the full-
+    resolution solve. Widens the convergence basin for large inter-frame
+    motion, which neither identity init (the reference's setting,
+    sem_pc_accum.py:88) nor a warm start can rescue after one bad frame.
+
+    Same signature as make_register_fn.
+    """
+    coarse = make_register_fn(coarse_iters, damping, trim_ratio)
+    fine = make_register_fn(num_iters, damping, trim_ratio)
+
+    def strided(c: ICPCloud) -> ICPCloud:
+        return ICPCloud(points=c.points[::coarse_factor],
+                        normals=c.normals[::coarse_factor],
+                        valid=c.valid[::coarse_factor])
+
+    @jax.jit
+    def register(source: ICPCloud, target: ICPCloud, T_init, max_corr_dist):
+        T0, _, _ = coarse(strided(source), strided(target), T_init,
+                          max_corr_dist)
+        return fine(source, target, T0, max_corr_dist)
+
+    return register
+
+
 def make_preprocess_fn(voxel_size, max_out, normal_k=10):
     """Build a jitted cloud-preprocess fn: raw padded (N,>=3) + valid ->
     ICPCloud (strided subsample + k-NN covariance normals). ``voxel_size``

@@ -136,3 +136,31 @@ def test_warm_start_preserves_accuracy():
         accum.integrate(obs)
     steps = np.linalg.norm(np.diff(accum.get_pose(), axis=0), axis=1)
     np.testing.assert_allclose(steps, 2.0, atol=0.4)
+
+
+def test_coarse_to_fine_recovers_large_step():
+    """Coarse-to-fine registration (ICPConfig.coarse_to_fine) recovers 4 m
+    inter-frame steps that single-scale identity-init ICP cannot."""
+    import numpy as np
+
+    from pc_accumulation_lib_tpu import config as cfg2
+    from pc_accumulation_lib_tpu.accum.kitti360 import (
+        Kitti360SemanticPointCloudAccumulator)
+    from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+        SyntheticKitti360Stream, make_calib)
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                 p_velo_frame=P_cam_frame @ H_velo_cam)
+    stream = SyntheticKitti360Stream(n_frames=8, step=4.0, lidar_range=25.0,
+                                     seed=11, points_per_frame=3000)
+    accum = Kitti360SemanticPointCloudAccumulator(
+        200.0, calib, 1e3, None, (255,), None, True,
+        dict(type='sem', view_size=40, pixel_size=32),
+        accum_cfg=cfg2.AccumConfig(max_points_per_frame=16384,
+                                   max_frames=16),
+        icp_cfg=cfg2.ICPConfig(max_downsampled=2048, num_iters=16,
+                               coarse_to_fine=True, warm_start=True))
+    for obs in stream:
+        accum.integrate(obs)
+    steps = np.linalg.norm(np.diff(accum.get_pose(), axis=0), axis=1)
+    np.testing.assert_allclose(steps, 4.0, atol=0.6)
