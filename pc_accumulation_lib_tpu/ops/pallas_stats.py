@@ -108,8 +108,8 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
         num_scalar_prefetch=2,
         grid=(num_windows,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, W_PAD, WIN), lambda w, *_: (w, 0, 0),
