@@ -75,6 +75,7 @@ class SemanticPointCloudAccumulator:
                 bev_params.get('int_mid_threshold', 0.5),
                 bev_params.get('height_filter'),
                 seed=seed,
+                mesh=bev_params.get('mesh'),  # point-sharded multi-chip
             )
         elif bev_type == 'rgb':
             from pc_accumulation_lib_tpu.bev.rgb_bev import RGBBEVGenerator

@@ -62,7 +62,10 @@ class SemBEVGenerator:
                  do_warp: bool = False, int_scaler: float = 1.,
                  int_sep_scaler: float = 1., int_mid_threshold: float = 0.5,
                  height_filter: Optional[float] = None, rgb_fill: int = 0,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'points' axis — the
+        raster then runs point-sharded across devices with psum/pmin
+        partial combination (parallel/sharded.py) instead of single-chip."""
         self.sem_idxs = dict(sem_idxs)
         self.view_size = float(view_size)
         self.pixel_size = int(pixel_size)
@@ -77,10 +80,16 @@ class SemBEVGenerator:
         self.sem_idx = cfg.PT_SEM   # column of semantic info (parity attr)
         self.dyn_idx = cfg.PT_DYN   # column of dynamic flag (parity attr)
         self._rng = np.random.default_rng(seed)
-        self._raster = core.make_raster_fn(self.view_size, self.pixel_size,
-                                           self.sem_idxs, int_scaler,
-                                           int_sep_scaler, int_mid_threshold,
-                                           rgb_fill)
+        if mesh is not None:
+            from pc_accumulation_lib_tpu.parallel.sharded import (
+                make_sharded_raster_fn)
+            self._raster = make_sharded_raster_fn(
+                mesh, self.view_size, self.pixel_size, self.sem_idxs,
+                int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
+        else:
+            self._raster = core.make_raster_fn(
+                self.view_size, self.pixel_size, self.sem_idxs, int_scaler,
+                int_sep_scaler, int_mid_threshold, rgb_fill)
 
     # ------------------------------------------------------------------
     # Augmentation parameter draws (host RNG)

@@ -28,9 +28,10 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     """Build a jitted shard_map raster over ``mesh``.
 
     fn(points (M,10), valid (M,), pt_frame_ids (M,), inst_dyn (K,),
-       params: RasterParams, gen_future: static bool) -> replicated maps
-    dict — same contract as bev/core.make_raster_fn, M divisible by the
-    points-axis size.
+       params (RasterParams or packed vector), gen_future: static bool)
+    -> replicated packed f16 channel stack — same contract as
+    bev/core.make_raster_fn (unpack with bev_core.unpack_maps). M must be
+    divisible by the points-axis size.
     """
     Px = pixel_size
     sem_idxs = dict(sem_idxs)
@@ -65,8 +66,7 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
             splits['future'] = static_m & ~present_m
             splits['full'] = static_m
 
-        out = {}
-        stack, names = [], []
+        stack = []
         for name, split_mask in splits.items():
             acc = ras.split_accumulators(cells, split_mask, z, inten, rgb,
                                          sem, sem_idxs, Px)
@@ -80,20 +80,22 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
             stack += [ch['road'], ch['intensity'], ch['rgb'][0],
                       ch['rgb'][1], ch['rgb'][2], ch['dynamic'],
                       ch['elevation']]
-            names.append(name)
         maps = warp_ops.warp_dense_maps(jnp.stack(stack), params.warp_a1,
                                         params.warp_a2, params.warp_b1,
                                         params.warp_b2)
-        for si, name in enumerate(names):
+        # Same packed f16 channel-stack contract as bev/core.make_raster_fn
+        # (unpack host-side with bev_core.unpack_maps).
+        n_splits = len(splits)
+        final = []
+        for si in range(n_splits):
             base = si * 7
-            out[f'road_{name}'] = maps[base]
-            out[f'intensity_{name}'] = ras.road_marking_transform(
-                maps[base + 1], int_scaler, int_sep_scaler,
-                int_mid_threshold)
-            out[f'rgb_{name}'] = maps[base + 2:base + 5]
-            out[f'dynamic_{name}'] = maps[base + 5]
-            out[f'elevation_{name}'] = maps[base + 6]
-        return out
+            final += [maps[base],
+                      ras.road_marking_transform(maps[base + 1], int_scaler,
+                                                 int_sep_scaler,
+                                                 int_mid_threshold),
+                      maps[base + 2], maps[base + 3], maps[base + 4],
+                      maps[base + 5], maps[base + 6]]
+        return jnp.stack(final).astype(jnp.float16)
 
     pt_spec = P(points_axis)
     rep_spec = P()

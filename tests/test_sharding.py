@@ -43,8 +43,9 @@ def test_sharded_raster_matches_single_device(rng):
     sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
                                               jnp.asarray(valid),
                                               jnp.asarray(fids))
-    maps_shard = shard_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params,
-                          True)
+    maps_shard = core.unpack_maps(
+        np.asarray(shard_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params,
+                            True)), True)
 
     assert set(maps_single) == set(maps_shard)
     for k in maps_single:
@@ -61,8 +62,10 @@ def test_sharded_raster_present_only(rng):
     params = core.identity_params(window=(0, 9), present_frame=10)
     shard_fn = sharded.make_sharded_raster_fn(mesh, 40.0, P, SEM_IDXS, 20.,
                                               20., 0.5)
-    maps = shard_fn(jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(fids),
-                    jnp.zeros(4, jnp.float32), params, False)
+    stack = shard_fn(jnp.asarray(pts), jnp.asarray(valid),
+                     jnp.asarray(fids), jnp.zeros(4, jnp.float32), params,
+                     False)
+    maps = core.unpack_maps(np.asarray(stack), False)
     assert 'road_present' in maps and 'road_future' not in maps
 
 
@@ -88,3 +91,50 @@ def test_manifest_resume(tmp_path):
     assert m2.is_done('scene0') and m2.is_done('scene2')
     assert mf.shard_units(units, 0, 2, m2) == ['scene4', 'scene6', 'scene8']
     assert m2.stats()['done'] == 2
+
+
+def test_accumulator_with_mesh_matches_single(rng):
+    """An accumulator built with bev_params['mesh'] must produce the same
+    BEVs as the single-device path (multi-chip BEV generation is a
+    first-class mode, not a demo)."""
+    from pc_accumulation_lib_tpu import config as cfg
+    from pc_accumulation_lib_tpu.accum.kitti360 import (
+        Kitti360SemanticPointCloudAccumulator)
+    from pc_accumulation_lib_tpu.dataloaders.kitti360 import (ID2TRAINID,
+                                                              conv_semantic_ids)
+    from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+        SyntheticKitti360Stream, make_calib)
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                 p_velo_frame=P_cam_frame @ H_velo_cam)
+    mesh = mesh_mod.make_mesh((1, 8))
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=8192, max_frames=16)
+    icp_cfg = cfg.ICPConfig(max_downsampled=1024, num_iters=12)
+    kw = dict(type='sem', view_size=40, pixel_size=32, int_scaler=20.,
+              int_sep_scaler=20., int_mid_threshold=0.5)
+    accums = {
+        'single': Kitti360SemanticPointCloudAccumulator(
+            200., calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
+            cfg.DEFAULT_SEM_IDXS, True, dict(kw), accum_cfg=accum_cfg,
+            icp_cfg=icp_cfg, seed=0),
+        'mesh': Kitti360SemanticPointCloudAccumulator(
+            200., calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
+            cfg.DEFAULT_SEM_IDXS, True, dict(kw, mesh=mesh),
+            accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=0),
+    }
+    stream = SyntheticKitti360Stream(n_frames=8, step=2.0, lidar_range=20.0,
+                                     seed=3, points_per_frame=2500)
+    for i in range(8):
+        img, pc, sem_gt = stream.frame(i)
+        sem_gt = conv_semantic_ids(sem_gt.astype(np.int64), ID2TRAINID)
+        for a in accums.values():
+            a.integrate([(img, pc, sem_gt)])
+    bevs = {k: a.generate_bev(present_idx=5, bev_num=1, gen_future=True)[0]
+            for k, a in accums.items()}
+    for key in bevs['single']:
+        if key.startswith('trajs'):
+            continue
+        a = np.asarray(bevs['single'][key], np.float32)
+        b = np.asarray(bevs['mesh'][key], np.float32)
+        atol = 2e-3 if key.startswith('intensity') else 1e-3
+        np.testing.assert_allclose(b, a, atol=atol, err_msg=key)
