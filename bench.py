@@ -78,6 +78,50 @@ def bench_nuscenes_oracle():
     }))
 
 
+def selftest():
+    """On-TPU Pallas parity gate (`python bench.py --selftest`).
+
+    Runs one realistic raster with the Pallas segmented-stats kernel and
+    with the pure-XLA fallback on the REAL attached chip and asserts the
+    packed float16 stacks match — a Mosaic miscompile cannot ship silently
+    behind green CPU-only tests (which run interpret mode only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pc_accumulation_lib_tpu import config as cfg
+    from pc_accumulation_lib_tpu.bev import core
+
+    backend = jax.default_backend()
+    rng = np.random.default_rng(0)
+    M, P = 262144, 256
+    pts = np.zeros((M, 10), np.float32)
+    pts[:, 0:2] = rng.uniform(-40, 40, size=(M, 2))
+    pts[:, 2] = rng.uniform(-2, 6, size=M)
+    pts[:, 3] = rng.uniform(0, 1, size=M)
+    pts[:, 4:7] = rng.integers(0, 256, size=(M, 3))
+    pts[:, 7] = rng.choice([0, 2, 13, 14, 15, 17], size=M)
+    fids = rng.integers(0, 8, size=M).astype(np.int32)
+    valid = rng.random(M) < 0.9
+    params = core.identity_params(window=(0, 7), present_frame=4)
+    args = (jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(fids),
+            jnp.zeros(4, jnp.float32), jnp.asarray(params.pack()))
+    stacks = {}
+    for use_pallas in (True, False):
+        fn = core.make_raster_fn(80.0, P, cfg.DEFAULT_SEM_IDXS, 20., 20.,
+                                 0.5, use_pallas=use_pallas)
+        stacks[use_pallas] = np.asarray(fn(*args, True), np.float32)
+    err = float(np.abs(stacks[True] - stacks[False]).max())
+    ok = bool(err <= 2e-3)  # f16 stack: one ulp at 1.0 is ~5e-4
+    print(json.dumps({
+        'metric': 'pallas_xla_raster_parity',
+        'value': err,
+        'unit': f'max_abs_err_f16_stack[{backend}]',
+        'vs_baseline': 1.0 if ok else 0.0,
+    }))
+    if not ok:
+        raise SystemExit(f'Pallas/XLA raster mismatch: max err {err}')
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -88,6 +132,7 @@ def main():
     from pc_accumulation_lib_tpu.dataloaders.synthetic import (
         SyntheticKitti360Stream, make_calib)
     from pc_accumulation_lib_tpu.models.semseg import SemSegTPU
+    from pc_accumulation_lib_tpu.utils.profiling import PhaseTimer
 
     n_frames = 24
     warmup_frames = 6
@@ -103,10 +148,14 @@ def main():
     icp_cfg = cfg.ICPConfig(max_downsampled=2048, num_iters=16)
     # Random rotate/translate/zoom + polynomial warp augmentation: each
     # sample yields bevs_per_sample distinct BEVs (BASELINE config 5).
+    # fetch_dtype='sparse': only occupied raster cells cross the tunnel
+    # (u8-quantized + occupancy bitmask, dense fallback on overflow) —
+    # fetched bytes bound throughput on the ~25-40 MB/s link.
     bev_params = dict(type='sem', view_size=80, pixel_size=256,
                       max_trans_radius=3.0, zoom_thresh=0.05, do_warp=True,
                       int_scaler=20., int_sep_scaler=20.,
-                      int_mid_threshold=0.5, height_filter=None)
+                      int_mid_threshold=0.5, height_filter=None,
+                      fetch_dtype='sparse')
     bevs_per_sample = 8
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(
@@ -130,17 +179,44 @@ def main():
 
     # Timed steady-state: one integrate + bevs_per_sample augmented BEV
     # samples per iteration (semseg + ICP + accumulate + rasterize + warp).
+    # Software pipeline per iteration: dispatch integrate(i); fetch frame
+    # i-1's BEV stacks while integrate(i) + rasters(i-1) compute under the
+    # transfer; then finalize integrate(i)'s (already-streamed) pose fetch
+    # and dispatch rasters(i), whose compute hides under iteration i+1's
+    # fetch.
+    # The transfer wait (np.asarray) and the host assemble (numpy) both
+    # release the GIL, so a single worker thread harvests sample batches
+    # while the main thread keeps dispatching — the device queue, the
+    # tunnel, and host assembly all stay busy concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+    timer = PhaseTimer()
     t0 = time.perf_counter()
     n_samples = 0
-    for i in range(warmup_frames, n_frames):
-        accum.integrate([frames[i]])
-        bevs = accum.generate_bev(present_idx=len(accum.poses) - 2,
-                                  bev_num=bevs_per_sample, gen_future=True)
-        n_samples += len(bevs)
+    fut = None
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        for i in range(warmup_frames, n_frames):
+            with timer.phase('integrate dispatch'):
+                h_int = accum.integrate([frames[i]], async_fetch=True)
+            if fut is not None:
+                with timer.phase('harvest previous batch'):
+                    n_samples += len(fut.result())
+            with timer.phase('integrate finalize (pose fetch)'):
+                h_int()
+            with timer.phase('raster dispatch'):
+                handle = accum.generate_bev(
+                    present_idx=len(accum.poses) - 2,
+                    bev_num=bevs_per_sample, gen_future=True,
+                    async_fetch=True)
+            fut = ex.submit(handle)
+        with timer.phase('harvest previous batch'):
+            n_samples += len(fut.result())
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_samples / dt
+    print('--- phase breakdown (steady state) ---', file=sys.stderr)
+    print(timer.report(), file=sys.stderr)
+    print(f'total {dt:.3f}s for {n_samples} samples', file=sys.stderr)
     result = {
         'metric': 'e2e_bev_samples_per_sec_per_chip',
         'value': round(samples_per_sec, 3),
@@ -155,12 +231,17 @@ if __name__ == '__main__':
     # to stdout.
     import builtins
     _orig_print = builtins.print
-    builtins.print = lambda *a, **k: _orig_print(*a, file=sys.stderr, **k) \
-        if not (a and isinstance(a[0], str) and a[0].startswith('{')) \
-        else _orig_print(*a, **k)
+
+    def _print(*a, **k):
+        if not (a and isinstance(a[0], str) and a[0].startswith('{')):
+            k.setdefault('file', sys.stderr)
+        return _orig_print(*a, **k)
+    builtins.print = _print
     try:
         if len(sys.argv) > 1 and sys.argv[1] == 'nuscenes_oracle':
             bench_nuscenes_oracle()
+        elif len(sys.argv) > 1 and sys.argv[1] == '--selftest':
+            selftest()
         else:
             main()
     finally:

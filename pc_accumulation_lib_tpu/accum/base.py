@@ -76,6 +76,8 @@ class SemanticPointCloudAccumulator:
                 bev_params.get('height_filter'),
                 seed=seed,
                 mesh=bev_params.get('mesh'),  # point-sharded multi-chip
+                fetch_dtype=bev_params.get('fetch_dtype', 'float16'),
+                sparse_cap=bev_params.get('sparse_cap'),
             )
         elif bev_type == 'rgb':
             from pc_accumulation_lib_tpu.bev.rgb_bev import RGBBEVGenerator
@@ -121,15 +123,20 @@ class SemanticPointCloudAccumulator:
                                          jnp.int32(self.frame_count))
         self._append_frame_meta(T_world_velo, rgb, semseg)
 
-    def _append_frame_meta(self, T_world_velo, rgb, semseg):
-        """Host bookkeeping for a frame already inserted on device."""
+    def _append_frame_meta(self, T_world_velo, rgb, semseg,
+                           count_frame: bool = True):
+        """Host bookkeeping for a frame already inserted on device.
+
+        ``count_frame=False`` when the frame id was already reserved at
+        dispatch time (pipelined integrate, accum/kitti360.py)."""
         if len(self.poses) >= self.accum_cfg.max_frames:
             raise RuntimeError(
                 f'Point buffer frame overflow: window of {len(self.poses)} '
                 f'frames exceeds max_frames={self.accum_cfg.max_frames}; '
                 'raise AccumConfig.max_frames (points must not be silently '
                 'dropped).')
-        self.frame_count += 1
+        if count_frame:
+            self.frame_count += 1
         self.T_world_velo.append(np.asarray(T_world_velo, np.float64))
         pose = list(np.asarray(T_world_velo, np.float64)[:3, 3])
         self.poses.append(pose)
@@ -209,8 +216,14 @@ class SemanticPointCloudAccumulator:
         return None
 
     def generate_bev(self, present_idx: Optional[int] = None,
-                     bev_num: int = 1, gen_future: bool = False) -> list:
-        """Generate ``bev_num`` BEV dicts around pose ``present_idx``."""
+                     bev_num: int = 1, gen_future: bool = False,
+                     async_fetch: bool = False):
+        """Generate ``bev_num`` BEV dicts around pose ``present_idx``.
+
+        With ``async_fetch=True`` all device work is dispatched but the
+        device->host fetch is deferred: returns a zero-arg callable
+        yielding the list, so the caller can dispatch the next frame's
+        integrate/raster before paying the (tunnel-serialized) transfer."""
         n_frames = len(self.poses)
         T_ref_world = self._ref_transform()
         poses_ref = self._poses_ref(T_ref_world)
@@ -247,7 +260,7 @@ class SemanticPointCloudAccumulator:
         pt_fids = jnp.repeat(self.state.frame_ids, n)
         return self.sem_bev_generator.generate_samples(
             flat_pts, flat_valid, pt_fids, self.state.inst_dyn, params,
-            trajs, bev_num, gen_future)
+            trajs, bev_num, gen_future, async_fetch=async_fetch)
 
     # ------------------------------------------------------------------
     # IO / viz parity helpers

@@ -64,6 +64,8 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._icp_prev_cloud = None
         self._T_world_velo_last = np.eye(4)
         self._T_new_prev_last = np.eye(4)
+        self._T_world_dev = None     # device-side pose chain (see common())
+        self._T_new_prev_dev = None
         self.transfer_dtype = transfer_dtype
         self._fused = self._build_fused_step()
 
@@ -111,7 +113,11 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             packed = jnp.concatenate([
                 T_world.reshape(-1), T_new_prev.reshape(-1),
                 jnp.stack([n_valid.astype(jnp.float32), n_corr])])
-            return state, new_cloud, packed
+            # T_world / T_new_prev returned as device arrays too: the pose
+            # chain threads device->device between frames so dispatching
+            # frame k+1 never waits on frame k's host fetch (the packed
+            # vector is fetched lazily for bookkeeping only).
+            return state, new_cloud, packed, T_world, T_new_prev
 
         def camera_step(state, prev_cloud, T_world_prev, T_init, variables,
                         pc_pad, valid, rgb_img, frame_id, first):
@@ -167,32 +173,36 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             return jnp.asarray(arr.astype(np.uint8))
         return jnp.asarray(arr.astype(np.float32))
 
-    def integrate(self, observations: list):
+    def integrate(self, observations: list, async_fetch: bool = False):
         """Integrate observations [(rgb, pc, sem_gt), ...]
-        (kitti360_sem_pc_accum.py:41-88). Returns number of evicted frames."""
-        num_removed = 0
-        for obs in observations:
-            rgb, pc, sem_gt = obs
-            if self.use_gt_sem:
-                self.obs2sem_vec_space(rgb, pc, sem_gt)
-            else:
-                self.obs2sem_vec_space(rgb, pc)
-            if len(self.poses) > 1:
-                idx, path_length = self.remove_observations()
-                num_removed += idx
-                print(f'    #pc {len(self.poses)} |',
-                      f'path length {path_length:.2f}')
-        return num_removed
+        (kitti360_sem_pc_accum.py:41-88). Returns number of evicted frames.
 
-    def obs2sem_vec_space(self, rgb, pc: np.ndarray,
-                          sem_gt: Optional[np.ndarray] = None):
-        """Paint one observation into the world-frame buffer
-        (kitti360_sem_pc_accum.py:90-164) via the fused device step.
+        All frames are dispatched to the device back-to-back (the pose
+        chain threads device-side, so no dispatch waits on a host fetch).
+        With ``async_fetch=True`` the per-frame bookkeeping fetch is
+        deferred: returns a zero-arg callable yielding num_removed, letting
+        the caller overlap a pending transfer with this integrate's
+        compute."""
+        handles = [self._dispatch_obs(obs) for obs in observations]
 
-        Ego-motion: point-to-plane ICP vs previous frame
-        (kitti360_sem_pc_accum.py:114-127). T_new_prev maps prev-ego ->
-        new-ego coords; world chain T_w_k = T_w_{k-1} @ inv(T_new_prev).
-        """
+        def finalize() -> int:
+            num_removed = 0
+            for h in handles:
+                h()
+                if len(self.poses) > 1:
+                    idx, path_length = self.remove_observations()
+                    num_removed += idx
+                    print(f'    #pc {len(self.poses)} |',
+                          f'path length {path_length:.2f}')
+            return num_removed
+
+        return finalize if async_fetch else finalize()
+
+    def _dispatch_obs(self, obs):
+        """Dispatch one observation's fused device step; returns a zero-arg
+        bookkeeping closure that performs the (lazy, async-copied) host
+        fetch of the packed pose/count vector."""
+        rgb, pc, sem_gt = obs
         pc = np.asarray(pc, np.float32)
         pc_pad, valid = self._pad_pc(pc)
         first = self._icp_prev_cloud is None
@@ -203,39 +213,66 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 points=jnp.zeros((self.icp_cfg.max_downsampled, 3)),
                 normals=jnp.zeros((self.icp_cfg.max_downsampled, 3)),
                 valid=jnp.zeros((self.icp_cfg.max_downsampled,), bool))
-        T_world_prev = jnp.asarray(self._T_world_velo_last, jnp.float32)
-        T_init = jnp.asarray(self._T_new_prev_last, jnp.float32)
+            self._T_world_dev = jnp.asarray(self._T_world_velo_last,
+                                            jnp.float32)
+            self._T_new_prev_dev = jnp.asarray(self._T_new_prev_last,
+                                               jnp.float32)
         fid = jnp.int32(self.frame_count)
 
         if self.use_gt_sem or self.semseg_model is None:
-            semseg = None
             sem_flat = np.zeros(self.accum_cfg.max_points_per_frame,
                                 np.float32)
             sem_flat[:pc.shape[0]] = np.asarray(sem_gt).reshape(-1)
-            state, new_cloud, packed = self._fused(
-                self.state, prev_cloud, T_world_prev, T_init, pc_pad, valid,
-                jnp.asarray(sem_flat), fid, first)
+            state, new_cloud, packed, t_w, t_np = self._fused(
+                self.state, prev_cloud, self._T_world_dev,
+                self._T_new_prev_dev, pc_pad, valid, jnp.asarray(sem_flat),
+                fid, first)
         else:
             rgb_arr = self._prep_rgb(rgb)
-            state, new_cloud, packed = self._fused(
-                self.state, prev_cloud, T_world_prev, T_init,
-                self.semseg_model.variables, pc_pad, valid, rgb_arr, fid,
-                first)
-            semseg = None  # class map stays on device; viz refetches lazily
+            state, new_cloud, packed, t_w, t_np = self._fused(
+                self.state, prev_cloud, self._T_world_dev,
+                self._T_new_prev_dev, self.semseg_model.variables, pc_pad,
+                valid, rgb_arr, fid, first)
 
         self.state = state
         self._icp_prev_cloud = new_cloud
-        packed = np.asarray(packed, np.float64)  # the ONE host fetch
-        T_world_velo = packed[:16].reshape(4, 4)
-        T_new_prev = packed[16:32].reshape(4, 4)
-        n_painted = int(packed[32])
-        if n_painted > self.accum_cfg.painted_cap:
-            raise RuntimeError(
-                f'Painted-point overflow: frame produced {n_painted} >= '
-                f'cap {self.accum_cfg.painted_cap}; raise '
-                'AccumConfig.max_painted_points_per_frame (points must not '
-                'be silently dropped).')
-        self._T_world_velo_last = T_world_velo
-        self._T_new_prev_last = T_new_prev
-        self._append_frame_meta(T_world_velo, rgb, semseg)
-        return None, self.poses[-1], semseg, T_new_prev
+        self._T_world_dev = t_w
+        self._T_new_prev_dev = t_np
+        # Reserve the frame id now (dispatch order); meta appended at fetch.
+        self.frame_count += 1
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+
+        def fetch():
+            vec = np.asarray(packed, np.float64)
+            T_world_velo = vec[:16].reshape(4, 4)
+            T_new_prev = vec[16:32].reshape(4, 4)
+            n_painted = int(vec[32])
+            if n_painted > self.accum_cfg.painted_cap:
+                raise RuntimeError(
+                    f'Painted-point overflow: frame produced {n_painted} >= '
+                    f'cap {self.accum_cfg.painted_cap}; raise '
+                    'AccumConfig.max_painted_points_per_frame (points must '
+                    'not be silently dropped).')
+            self._T_world_velo_last = T_world_velo
+            self._T_new_prev_last = T_new_prev
+            self._append_frame_meta(T_world_velo, rgb, None,
+                                    count_frame=False)
+            return T_world_velo, T_new_prev
+
+        return fetch
+
+    def obs2sem_vec_space(self, rgb, pc: np.ndarray,
+                          sem_gt: Optional[np.ndarray] = None):
+        """Paint one observation into the world-frame buffer
+        (kitti360_sem_pc_accum.py:90-164) via the fused device step.
+
+        Ego-motion: point-to-plane ICP vs previous frame
+        (kitti360_sem_pc_accum.py:114-127). T_new_prev maps prev-ego ->
+        new-ego coords; world chain T_w_k = T_w_{k-1} @ inv(T_new_prev).
+        """
+        fetch = self._dispatch_obs((rgb, pc, sem_gt))
+        _, T_new_prev = fetch()
+        return None, self.poses[-1], None, T_new_prev

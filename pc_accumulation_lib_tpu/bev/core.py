@@ -92,9 +92,16 @@ _SPLIT_CHANNELS = ('road', 'intensity', 'rgb_r', 'rgb_g', 'rgb_b', 'dynamic',
                    'elevation')
 
 
+def default_sparse_cap(pixel_size: int) -> int:
+    """Default occupied-cell capacity for the sparse fetch: 40% of the
+    raster, rounded up to a lane multiple."""
+    return ((pixel_size * pixel_size * 2 // 5) + 127) // 128 * 128
+
+
 def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                    int_sep_scaler, int_mid_threshold, rgb_fill=0,
-                   backend='sort'):
+                   backend='sort', use_pallas=None, pack=None,
+                   sparse_cap=None):
     """Build the jitted raster core with static BEV config baked in.
 
     ``backend``: 'sort' (default — sort/cumsum/boundary formulation,
@@ -102,16 +109,24 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
     ops/sort_raster.py) or 'scatter' (segment-op formulation, the simple
     reference implementation both are tested against).
 
-    Returned fn signature:
-      fn(points (M,10), valid (M,), pt_frame_ids (M,) i32,
-         inst_dyn (K,) f32, packed: (31,) f32 (RasterParams.pack()),
-         gen_future: static bool)
-      -> (C,P,P) float16 channel stack; unpack host-side with unpack_maps.
+    ``pack``: None -> the fn returns a (C,P,P) float16 channel stack
+    (unpack host-side with unpack_maps). 'sparse' (sort backend only) ->
+    the fn returns (sparse_u8, dense_f16): sparse_u8 is a flat uint8
+    buffer of [per-split occupancy bitmask | first sparse_cap occupied
+    cells' channel values (u8 x6 + f16 elevation) | per-split n_occ] —
+    every un-occupied cell holds a known constant, so only occupied cells
+    cross the host link (decode_sparse_stack). The dense stack is returned
+    as the capacity-overflow fallback and is only fetched in that case.
     """
     P = pixel_size
     sem_idxs = dict(sem_idxs)
-    # Pallas segmented-stats kernel on real TPU; XLA fallback elsewhere.
-    use_pallas = jax.default_backend() == 'tpu'
+    if pack == 'sparse' and backend != 'sort':
+        raise ValueError("pack='sparse' requires backend='sort'")
+    if sparse_cap is None:
+        sparse_cap = default_sparse_cap(P)
+    if use_pallas is None:
+        # Pallas segmented-stats kernel on real TPU; XLA fallback elsewhere.
+        use_pallas = jax.default_backend() == 'tpu'
 
     def raster(points, valid, pt_frame_ids, inst_dyn, packed, gen_future):
         params = unpack_params(packed)
@@ -161,6 +176,10 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                           chs[f'rgb_{name}'][0], chs[f'rgb_{name}'][1],
                           chs[f'rgb_{name}'][2], chs[f'dynamic_{name}'],
                           chs[f'elevation_{name}']]
+            if pack == 'sparse':
+                # Count channels ride through the (pure-gather) warp so the
+                # post-warp occupancy is exact.
+                stack += [chs[f'count_{name}'] for name in meta]
         else:
             splits = {'present': static_m & present_m}
             if gen_future:
@@ -195,9 +214,141 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                                                  int_mid_threshold),
                       maps[base + 2], maps[base + 3], maps[base + 4],
                       maps[base + 5], maps[base + 6]]
-        return jnp.stack(final).astype(jnp.float16)
+        dense = jnp.stack(final).astype(jnp.float16)
+        if pack != 'sparse':
+            return dense
+        counts = maps[len(meta) * n_ch:]
+        return _pack_sparse(dense, counts, P, sparse_cap, len(meta)), dense
 
     return jax.jit(raster, static_argnames=('gen_future',))
+
+
+def _pack_sparse(dense, counts, P, cap, S):
+    """Device-side sparse packing: (S*7,P,P) f16 dense + (S,P,P) counts ->
+    flat uint8 [masks (S,P*P/8) | values (S,cap,8) | n_occ (S,) i32 bytes].
+
+    Occupied cells are taken in ascending cell order; each contributes six
+    u8-quantized [0,1] channels plus the float16 elevation bitcast to two
+    bytes. See decode_sparse_stack for the host inverse."""
+    n_cells = P * P
+    bit_w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    masks, vals, noccs = [], [], []
+    for s in range(S):
+        occ = counts[s].reshape(-1) > 0
+        key = jnp.where(occ, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
+        idx = jnp.argsort(key)[:cap]
+        ch = dense[s * 7:(s + 1) * 7].reshape(7, n_cells)
+        g = ch[:, idx]
+        u8 = jnp.round(jnp.clip(g[:6].astype(jnp.float32), 0., 1.)
+                       * 255.).astype(jnp.uint8)
+        eb = jax.lax.bitcast_convert_type(g[6].astype(jnp.float16),
+                                          jnp.uint8)          # (cap, 2)
+        vals.append(jnp.concatenate([u8.T, eb], axis=1))      # (cap, 8)
+        masks.append((occ.reshape(-1, 8).astype(jnp.uint8)
+                      * bit_w).sum(axis=1).astype(jnp.uint8))
+        noccs.append(occ.sum().astype(jnp.int32))
+    nb = jax.lax.bitcast_convert_type(jnp.stack(noccs),
+                                      jnp.uint8).reshape(-1)
+    return jnp.concatenate(
+        [jnp.concatenate(masks),
+         jnp.stack(vals).reshape(-1), nb])
+
+
+class SparseOverflow(Exception):
+    """More occupied raster cells than the sparse fetch capacity — caller
+    falls back to fetching the dense stack (correctness is never lost)."""
+
+
+def sparse_empty_values(int_scaler, int_sep_scaler, int_mid_threshold,
+                        rgb_fill=0):
+    """The constants every un-occupied cell holds, per u8 channel
+    [road, intensity(post road-marking transform), r, g, b, dynamic]."""
+    int_empty = min(
+        float(int_scaler)
+        / (1.0 + np.exp(float(int_sep_scaler) * float(int_mid_threshold))),
+        1.0)
+    f = rgb_fill / 255.0
+    return (0.5, int_empty, f, f, f, 0.5)
+
+
+def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
+    """Host-side inverse of _pack_sparse for ONE sample: flat uint8 ->
+    (S*7, P, P) float16 stack (unpack_maps layout). Raises SparseOverflow
+    when a split exceeded ``cap`` occupied cells."""
+    S = 3 if gen_future else 1
+    P = pixel_size
+    n_mask = P * P // 8
+    masks = raw[:S * n_mask].reshape(S, n_mask)
+    vals = raw[S * n_mask:S * n_mask + S * cap * 8].reshape(S, cap, 8)
+    n_occ = np.ascontiguousarray(raw[S * n_mask + S * cap * 8:]).view(
+        np.int32)
+    stack = np.empty((S * 7, P, P), np.float16)
+    for s in range(S):
+        n = int(n_occ[s])
+        if n > cap:
+            raise SparseOverflow(
+                f'split {s}: {n} occupied cells > sparse cap {cap}')
+        occ = np.unpackbits(masks[s]).astype(bool)
+        v = vals[s, :n]
+        for c in range(6):
+            flat = np.full(P * P, empty_vals[c], np.float16)
+            flat[occ] = _DEQUANT_LUT[v[:, c]]
+            stack[s * 7 + c] = flat.reshape(P, P)
+        elev = np.zeros(P * P, np.float16)
+        elev[occ] = np.ascontiguousarray(v[:, 6:8]).view(np.float16)[:, 0]
+        stack[s * 7 + 6] = elev.reshape(P, P)
+    return stack
+
+
+_N_U8_CH = 6   # road, intensity(post-transform), r, g, b, dynamic — all [0,1]
+
+
+@jax.jit
+def quantize_stack_batch(stacks):
+    """Pack a (B, S*7, P, P) float16 raster batch into ONE uint8 buffer.
+
+    Transfer engineering for the remote-TPU tunnel (~25-40 MB/s, ~33 ms
+    RTT): the six [0,1]-ranged channels per split go as u8 (round(x*255));
+    the metric elevation channel keeps full float16, bitcast into the same
+    buffer so the whole batch is ONE device->host fetch. 1.75x fewer bytes
+    than the float16 stack. Inverse: dequantize_stack_batch (host-side).
+    """
+    B, C, P, _ = stacks.shape
+    S = C // len(_SPLIT_CHANNELS)
+    x = stacks.reshape(B, S, len(_SPLIT_CHANNELS), P, P)
+    u8 = jnp.round(jnp.clip(x[:, :, :_N_U8_CH].astype(jnp.float32), 0., 1.)
+                   * 255.).astype(jnp.uint8)
+    elev_bytes = jax.lax.bitcast_convert_type(x[:, :, _N_U8_CH],
+                                              jnp.uint8)  # (B,S,P,P,2)
+    return jnp.concatenate([u8.reshape(B, -1), elev_bytes.reshape(B, -1)],
+                           axis=1)
+
+
+@jax.jit
+def quantize_stack(stack):
+    """Single-sample (S*7, P, P) float16 -> flat uint8 packed buffer (same
+    layout as one row of quantize_stack_batch). Applied per raster dispatch
+    so each sample's transfer can start as soon as its raster finishes."""
+    return quantize_stack_batch(stack[None])[0]
+
+
+_DEQUANT_LUT = (np.arange(256, dtype=np.float32) / 255.).astype(np.float16)
+
+
+def dequantize_stack_batch(raw, gen_future, pixel_size):
+    """Host-side inverse of quantize_stack_batch: (B, bytes) uint8 numpy
+    -> (B, S*7, P, P) float16 stack batch (unpack_maps layout). The u8
+    channels dequantize through a 256-entry f16 lookup (one gather instead
+    of two dtype conversions over ~19 MB per call)."""
+    B = raw.shape[0]
+    S = 3 if gen_future else 1
+    P = pixel_size
+    n_u8 = S * _N_U8_CH * P * P
+    ch = _DEQUANT_LUT[raw[:, :n_u8]].reshape(B, S, _N_U8_CH, P, P)
+    elev = np.ascontiguousarray(
+        raw[:, n_u8:]).reshape(B, S, P, P, 2).view(np.float16)[..., 0]
+    stack = np.concatenate([ch, elev[:, :, None]], axis=2)
+    return stack.reshape(B, S * len(_SPLIT_CHANNELS), P, P)
 
 
 def unpack_maps(stack, gen_future):

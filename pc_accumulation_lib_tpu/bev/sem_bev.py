@@ -62,10 +62,23 @@ class SemBEVGenerator:
                  do_warp: bool = False, int_scaler: float = 1.,
                  int_sep_scaler: float = 1., int_mid_threshold: float = 0.5,
                  height_filter: Optional[float] = None, rgb_fill: int = 0,
-                 seed: Optional[int] = None, mesh=None):
+                 seed: Optional[int] = None, mesh=None,
+                 fetch_dtype: str = 'float16',
+                 sparse_cap: Optional[int] = None):
         """``mesh``: optional jax.sharding.Mesh with a 'points' axis — the
         raster then runs point-sharded across devices with psum/pmin
-        partial combination (parallel/sharded.py) instead of single-chip."""
+        partial combination (parallel/sharded.py) instead of single-chip.
+
+        ``fetch_dtype``: transfer encoding for the remote-TPU tunnel
+        (~25-40 MB/s, so fetched bytes bound BEV throughput):
+          * 'float16' (default): the exact output contract.
+          * 'quantized': [0,1] channels come back as uint8 (max error
+            1/510), elevation stays float16 — 1.75x fewer bytes.
+          * 'sparse': additionally only OCCUPIED cells cross the link
+            (un-occupied cells hold known constants); an occupancy bitmask
+            + up to ``sparse_cap`` packed cell values per split, with a
+            transparent dense fallback on capacity overflow. 2-6x fewer
+            bytes at typical outdoor BEV occupancy."""
         self.sem_idxs = dict(sem_idxs)
         self.view_size = float(view_size)
         self.pixel_size = int(pixel_size)
@@ -79,8 +92,17 @@ class SemBEVGenerator:
         self.rgb_fill = rgb_fill
         self.sem_idx = cfg.PT_SEM   # column of semantic info (parity attr)
         self.dyn_idx = cfg.PT_DYN   # column of dynamic flag (parity attr)
+        self.fetch_dtype = fetch_dtype
         self._rng = np.random.default_rng(seed)
+        self.sparse_cap = (core.default_sparse_cap(self.pixel_size)
+                           if sparse_cap is None else int(sparse_cap))
+        self._sparse_empty = core.sparse_empty_values(
+            int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
         if mesh is not None:
+            if fetch_dtype == 'sparse':
+                raise ValueError(
+                    "fetch_dtype='sparse' is single-chip only (the mesh "
+                    "raster returns replicated dense stacks)")
             from pc_accumulation_lib_tpu.parallel.sharded import (
                 make_sharded_raster_fn)
             self._raster = make_sharded_raster_fn(
@@ -89,7 +111,9 @@ class SemBEVGenerator:
         else:
             self._raster = core.make_raster_fn(
                 self.view_size, self.pixel_size, self.sem_idxs, int_scaler,
-                int_sep_scaler, int_mid_threshold, rgb_fill)
+                int_sep_scaler, int_mid_threshold, rgb_fill,
+                pack='sparse' if fetch_dtype == 'sparse' else None,
+                sparse_cap=self.sparse_cap)
 
     # ------------------------------------------------------------------
     # Augmentation parameter draws (host RNG)
@@ -140,7 +164,8 @@ class SemBEVGenerator:
     def generate_samples(self, points, valid, pt_frame_ids, inst_dyn,
                          base_params: core.RasterParams,
                          trajs: Dict, n_samples: int, gen_future: bool,
-                         randomize: Optional[bool] = None) -> List[Dict]:
+                         randomize: Optional[bool] = None,
+                         async_fetch: bool = False):
         """Generate ``n_samples`` BEV dicts from device-resident points.
 
         Args:
@@ -152,6 +177,10 @@ class SemBEVGenerator:
              ... future/full ..., optional 'gt_lanes': [(N,3)...]}.
           randomize: override for the do_aug decision (reference
             generate_multiproc, bev_generator.py:186-196).
+          async_fetch: when True, return a zero-arg callable instead of the
+            list; all device work is dispatched now, but the (expensive,
+            tunnel-serialized) device->host fetch happens when the callable
+            runs — letting the caller dispatch the NEXT frame's work first.
         """
         randomize = self.do_aug if randomize is None else randomize
         hf = np.inf if self.height_filter is None else self.height_filter
@@ -171,21 +200,55 @@ class SemBEVGenerator:
                 height_thresh=float(hf))
             draws.append((rot_ang, dx, dy, zoom, w))
             packed.append(params.pack())
-        # Dispatch all samples before fetching any: the device queue
-        # overlaps sample i+1's raster with sample i's host fetch
-        # (replaces the reference's multiprocessing.Pool fan-out,
-        # kitti360_sem_pc_accum.py:236-241). Measured faster than a single
-        # vmapped dispatch, whose batched sort serializes.
-        stacks = [
+        # Dispatch all samples and start every device->host copy
+        # immediately (copy_to_host_async): each sample's (quantized)
+        # stack streams over the tunnel as soon as its raster finishes,
+        # per-chunk round trips pipeline instead of serializing, and
+        # sample i+1's compute overlaps sample i's transfer. Measured on
+        # the remote-TPU tunnel: ~1.5 MB async chunks sustain ~40 MB/s
+        # where one big batched fetch stalls. (Replaces the reference's
+        # multiprocessing.Pool fan-out, kitti360_sem_pc_accum.py:236-241.
+        # Per-sample dispatch, not one vmapped raster: batched sort
+        # serializes.)
+        outs = [
             self._raster(points, valid, pt_frame_ids, inst_dyn, pk,
                          gen_future) for pk in packed
         ]
-        bevs = []
-        for stack, (rot_ang, dx, dy, zoom, w) in zip(stacks, draws):
-            bevs.append(self._assemble(np.asarray(stack), trajs, rot_ang,
-                                       dx, dy, zoom * self.view_size, w,
-                                       gen_future))
-        return bevs
+        if self.fetch_dtype == 'quantized':
+            outs = [core.quantize_stack(s) for s in outs]
+        for o in outs:
+            s = o[0] if isinstance(o, tuple) else o
+            try:
+                s.copy_to_host_async()
+            except Exception:  # e.g. committed multi-device (mesh) outputs
+                pass
+
+        def finalize() -> List[Dict]:
+            stacks = [self._fetch_stack(o, gen_future) for o in outs]
+            return [
+                self._assemble(stacks[i], trajs, rot_ang, dx, dy,
+                               zoom * self.view_size, w, gen_future)
+                for i, (rot_ang, dx, dy, zoom, w) in enumerate(draws)
+            ]
+
+        return finalize if async_fetch else finalize()
+
+    def _fetch_stack(self, out, gen_future) -> np.ndarray:
+        """Fetch + decode one raster output to a (C,P,P) float16 numpy
+        stack, per fetch_dtype ('sparse' outputs are (sparse, dense)
+        tuples — the dense stack is fetched only on capacity overflow)."""
+        if self.fetch_dtype == 'sparse':
+            sparse, dense = out
+            try:
+                return core.decode_sparse_stack(
+                    np.asarray(sparse), gen_future, self.pixel_size,
+                    self.sparse_cap, self._sparse_empty)
+            except core.SparseOverflow:
+                return np.asarray(dense)
+        if self.fetch_dtype == 'quantized':
+            return core.dequantize_stack_batch(
+                np.asarray(out)[None], gen_future, self.pixel_size)[0]
+        return np.asarray(out)
 
     def _process_trajs(self, traj_list, rot_ang, dx, dy, aug_view, w):
         """Transform + crop + pixelize + warp one list of trajectories
@@ -245,11 +308,13 @@ class SemBEVGenerator:
             warp_a1=float(w['a1']), warp_a2=float(w['a2']),
             warp_b1=float(w['b1']), warp_b2=float(w['b2']))
         inst_dyn = jnp.zeros((1,), jnp.float32)
-        stack = self._raster(points, valid, fids, inst_dyn, params.pack(),
-                             gen_future)
-        return self._assemble(np.asarray(stack), trajs, rot_ang, trans_dx,
-                              trans_dy, zoom_scalar * self.view_size, w,
-                              gen_future)
+        out = self._raster(points, valid, fids, inst_dyn, params.pack(),
+                           gen_future)
+        if self.fetch_dtype == 'quantized':
+            out = core.quantize_stack(out)
+        return self._assemble(self._fetch_stack(out, gen_future), trajs,
+                              rot_ang, trans_dx, trans_dy,
+                              zoom_scalar * self.view_size, w, gen_future)
 
     def generate_rand_aug(self, pcs: Dict, trajs: Dict,
                           do_warping: bool = True) -> Dict:

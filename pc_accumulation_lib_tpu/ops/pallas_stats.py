@@ -69,10 +69,16 @@ def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
         valid = in_len & (local >= 0) & (local < WIN)
         onehot = (local[:, None] == col_ids) & valid[:, None]  # (C, K)
 
+        # precision=HIGHEST: the default MXU path truncates the f32
+        # weight operand to bf16, which skews the intensity sums by ~0.4%
+        # (the road-marking sigmoid then amplifies that up to ~100x —
+        # caught by `bench.py --selftest` on the real chip). The one-hot
+        # operand is exact in bf16 either way; the pass stays DMA-bound.
         acc = jax.lax.dot_general(
-            wt_buf[:, :], onehot.astype(jnp.bfloat16),
+            wt_buf[:, :], onehot.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (W_PAD, K)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (W_PAD, K)
         sum_ref[0] += acc
 
         z = wt_buf[W_PAD - 1, :]                           # z row

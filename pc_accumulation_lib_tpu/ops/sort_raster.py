@@ -10,7 +10,9 @@ group-by-cell is reformulated as sort + cumsum + boundary lookup:
     dynobj_flag] payloads gives every count/sum/min channel:
       - segment boundaries: one searchsorted (method='sort');
       - counts per (cell,split): boundary diffs (pure vector math);
-      - weighted sums: cumsum + 2 gathers of 128K;
+      - weighted sums: segment_sum over the sorted keys (sequential-
+        access scatter; exact, unlike cumsum boundary-differencing
+        which cancels catastrophically at ~1e5 running magnitude);
       - min-z elevation: z at segment start (z is the secondary sort key);
       - 'full' split = present + future (reshape-and-reduce, free).
   * per-channel median: single-key sorts of packed (c2*256 + value) —
@@ -19,7 +21,8 @@ group-by-cell is reformulated as sort + cumsum + boundary lookup:
     The same boundary table serves all sorts (identical key multisets).
 
 Outputs match the scatter backend exactly for counts/probmaps/medians/
-elevation; intensity sums differ only by f32 summation order (tested).
+elevation; intensity sums agree to f32 addition-order noise (tested, and
+gated on real TPU against the Pallas kernel by `bench.py --selftest`).
 """
 from __future__ import annotations
 
@@ -35,13 +38,6 @@ def _boundaries(sorted_c2, num_groups):
     ends = jnp.searchsorted(sorted_c2, q, method='sort').astype(jnp.int32)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
     return starts, ends
-
-
-def _range_sums(weights_sorted, starts, ends):
-    """Per-group sums from cumsum + boundary gathers."""
-    c = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                         jnp.cumsum(weights_sorted.astype(jnp.float32))])
-    return c[ends] - c[starts]
 
 
 def _median_from_sorted(packed_sorted, starts, lens, fill_value, base=256):
@@ -111,9 +107,17 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
     else:
         starts, ends = _boundaries(s_c2, sent)
         lens = (ends - starts).astype(jnp.float32)          # (sent,)
-        road_c = _range_sums(s_road, starts, ends)
-        dyn_c = _range_sums(s_dyn, starts, ends)
-        int_s = _range_sums(s_int, starts, ends)
+        # Per-group sums via segment_sum, NOT cumsum boundary differences:
+        # a global f32 cumsum reaches ~1e5 magnitude, so differencing it
+        # loses ~1e-2 absolute per group (catastrophic cancellation) —
+        # which the road-marking sigmoid then amplifies ~100x. Caught by
+        # `bench.py --selftest` against the (near-exact) Pallas kernel.
+        road_c = jax.ops.segment_sum(s_road, s_c2,
+                                     num_segments=sent + 1)[:sent]
+        dyn_c = jax.ops.segment_sum(s_dyn, s_c2,
+                                    num_segments=sent + 1)[:sent]
+        int_s = jax.ops.segment_sum(s_int, s_c2,
+                                    num_segments=sent + 1)[:sent]
         n_total = s_c2.shape[0]
         zmin = s_z[jnp.clip(starts, 0, n_total - 1)]
         zmin = jnp.where(lens > 0, zmin, jnp.inf)
@@ -170,4 +174,8 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
         out[f'rgb_{s}'] = rgbm
         out[f'dynamic_{s}'] = dyn.reshape(P, P)
         out[f'elevation_{s}'] = elev.reshape(P, P)
+        # Per-cell point counts: every other channel holds a known constant
+        # where count==0, which is what the sparse fetch packing keys on
+        # (bev/core.py pack='sparse').
+        out[f'count_{s}'] = cnt.reshape(P, P)
     return out

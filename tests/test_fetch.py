@@ -1,0 +1,127 @@
+"""Transfer-engineering tests: batched single-fetch, quantized fetch, and
+deferred (async) fetch must be output-equivalent to the float16 path."""
+import numpy as np
+import jax.numpy as jnp
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.bev import core
+from pc_accumulation_lib_tpu.bev.sem_bev import SemBEVGenerator
+
+
+def _random_cloud(rng, n=4096):
+    pc = np.zeros((n, 10), np.float32)
+    pc[:, 0:2] = rng.uniform(-30, 30, size=(n, 2))
+    pc[:, 2] = rng.uniform(-2, 5, size=n)
+    pc[:, 3] = rng.uniform(0, 1, size=n)
+    pc[:, 4:7] = rng.integers(0, 256, size=(n, 3))
+    pc[:, 7] = rng.choice([0, 2, 13, 15], size=n)
+    return pc
+
+
+def _gen(fetch_dtype, seed=7, **kw):
+    return SemBEVGenerator(cfg.DEFAULT_SEM_IDXS, 80, 64, int_scaler=20.,
+                           int_sep_scaler=20., int_mid_threshold=0.5,
+                           seed=seed, fetch_dtype=fetch_dtype, **kw)
+
+
+def test_quantize_roundtrip_bit_exact_elevation(rng):
+    B, S, P = 2, 3, 32
+    stack = rng.uniform(0, 1, (B, S * 7, P, P)).astype(np.float16)
+    for s in range(S):
+        stack[:, s * 7 + 6] = rng.uniform(-40, 40,
+                                          (B, P, P)).astype(np.float16)
+    raw = np.asarray(core.quantize_stack_batch(jnp.asarray(stack)))
+    assert raw.dtype == np.uint8
+    rec = core.dequantize_stack_batch(raw, True, P)
+    assert rec.shape == stack.shape and rec.dtype == np.float16
+    for s in range(S):
+        # Elevation rides as bitcast float16: exact.
+        np.testing.assert_array_equal(rec[:, s * 7 + 6], stack[:, s * 7 + 6])
+        # u8 channels: worst case 1/510 quantization error.
+        err = np.abs(rec[:, s * 7:s * 7 + 6].astype(np.float64)
+                     - stack[:, s * 7:s * 7 + 6].astype(np.float64))
+        assert err.max() <= 1.0 / 510 + 1e-3
+
+
+def test_quantized_fetch_matches_float16(rng):
+    pcs = {'pc_present': _random_cloud(rng), 'pc_future': _random_cloud(rng)}
+    trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
+    bev_a = _gen('float16').generate(pcs, trajs)
+    bev_b = _gen('quantized').generate(pcs, trajs)
+    assert set(bev_a) == set(bev_b)
+    for k in bev_a:
+        if k.startswith('trajs') or k == 'gt_lanes':
+            continue
+        a = np.asarray(bev_a[k], np.float64)
+        b = np.asarray(bev_b[k], np.float64)
+        tol = 0.0 if k.startswith('elevation') else 1.0 / 510 + 1e-3
+        assert np.abs(a - b).max() <= tol, (k, np.abs(a - b).max())
+
+
+def _compare_bevs(bev_a, bev_b, quant_tol):
+    assert set(bev_a) == set(bev_b)
+    for k in bev_a:
+        if k.startswith('trajs') or k == 'gt_lanes':
+            continue
+        a = np.asarray(bev_a[k], np.float64)
+        b = np.asarray(bev_b[k], np.float64)
+        tol = 0.0 if k.startswith('elevation') else quant_tol
+        assert np.abs(a - b).max() <= tol, (k, np.abs(a - b).max())
+
+
+def test_sparse_fetch_matches_float16(rng):
+    pcs = {'pc_present': _random_cloud(rng), 'pc_future': _random_cloud(rng)}
+    trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
+    bev_a = _gen('float16').generate(pcs, trajs)
+    bev_b = _gen('sparse').generate(pcs, trajs)
+    _compare_bevs(bev_a, bev_b, 1.0 / 510 + 1e-3)
+
+
+def test_sparse_fetch_matches_with_warp_and_aug(rng):
+    pcs = {'pc_present': _random_cloud(rng), 'pc_future': _random_cloud(rng)}
+    trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
+    kw = dict(max_trans_radius=3.0, zoom_thresh=0.05, do_warp=True)
+    bev_a = _gen('float16', **kw).generate(pcs, trajs, rot_ang=0.7,
+                                           trans_dx=1.0, trans_dy=-2.0,
+                                           zoom_scalar=1.03,
+                                           do_warping=True)
+    bev_b = _gen('sparse', **kw).generate(pcs, trajs, rot_ang=0.7,
+                                          trans_dx=1.0, trans_dy=-2.0,
+                                          zoom_scalar=1.03, do_warping=True)
+    _compare_bevs(bev_a, bev_b, 1.0 / 510 + 1e-3)
+
+
+def test_sparse_overflow_falls_back_to_dense(rng):
+    # Capacity of 128 cells with a dense 64x64 cloud -> every split
+    # overflows; the dense fallback must kick in and match exactly.
+    pcs = {'pc_present': _random_cloud(rng, n=8192),
+           'pc_future': _random_cloud(rng, n=8192)}
+    trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
+    bev_a = _gen('float16').generate(pcs, trajs)
+    bev_b = _gen('sparse', sparse_cap=128).generate(pcs, trajs)
+    _compare_bevs(bev_a, bev_b, 0.0)   # dense fallback: bit-identical
+
+
+def test_async_fetch_defers_and_matches(rng):
+    gen_sync = _gen('float16')
+    gen_async = _gen('float16')
+    pc = _random_cloud(rng)
+    points, valid, fids, gen_future = gen_sync._pack_pcs(
+        {'pc_present': pc, 'pc_future': _random_cloud(rng)})
+    params = core.identity_params(window=(0, 1), present_frame=1)
+    inst_dyn = jnp.zeros((1,), jnp.float32)
+    trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
+    sync = gen_sync.generate_samples(points, valid, fids, inst_dyn, params,
+                                     trajs, 3, gen_future)
+    handle = gen_async.generate_samples(points, valid, fids, inst_dyn,
+                                        params, trajs, 3, gen_future,
+                                        async_fetch=True)
+    assert callable(handle)
+    deferred = handle()
+    assert len(sync) == len(deferred) == 3
+    for a, b in zip(sync, deferred):
+        for k in a:
+            if k.startswith('trajs'):
+                continue
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
