@@ -126,7 +126,20 @@ class NuScenesOracleSemanticPointCloudAccumulator(
                 '); raise AccumConfig.max_instances.')
         max_fi = int(pc[:, 6].max()) if pc.shape[0] else -1
         remap = np.zeros(max(max_fi + 2, 2), np.int32)
-        for fi, gid in frame_to_global.items():
+        # The pc instance column holds the UNIQUE first-appearance index
+        # (inst_centric_get_sweeps), while the tracker keys results by the
+        # OCCURRENCE index into inst_tokens (a token repeats once per sweep
+        # that saw it) — convert via the first-appearance map. NOTE: the
+        # reference conflates the two (nuscenes_oracle_sem_pc_accum.py:
+        # 225-230 masks the unique-index pc column with the occurrence
+        # index), silently mislabelling dynamic points on multi-sweep
+        # scenes; fixed here by construction.
+        tokens = obs['inst_tokens']
+        uniq: dict = {}
+        for t in tokens:
+            uniq.setdefault(t, len(uniq))
+        for occ_idx, gid in frame_to_global.items():
+            fi = uniq[tokens[occ_idx]]
             if fi + 1 < remap.shape[0]:
                 remap[fi + 1] = gid
         # Newly-dynamic global ids -> device dyn table (covers both the

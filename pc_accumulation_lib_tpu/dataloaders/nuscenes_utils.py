@@ -53,14 +53,28 @@ def homo_transform(tf_mat: np.ndarray, points: np.ndarray) -> np.ndarray:
     return points @ tf_mat[:3, :3].T + tf_mat[:3, 3]
 
 
+def quat_wxyz_to_matrix(q) -> np.ndarray:
+    """(w, x, y, z) unit quaternion -> 3x3 rotation matrix. Devkit-free
+    (the NuScenes DB stores rotations as plain wxyz lists)."""
+    w, x, y, z = np.asarray(q, np.float64) / LA.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def tf(translation, rotation) -> np.ndarray:
-    """Build a 4x4 transform from translation + quaternion (reference
-    :217-230)."""
-    from pyquaternion import Quaternion
-    if not isinstance(rotation, Quaternion):
-        rotation = Quaternion(rotation)
+    """Build a 4x4 transform from translation + rotation (reference
+    :217-230). ``rotation``: a pyquaternion Quaternion, a (3,3) matrix, or
+    a plain (w,x,y,z) sequence — no pyquaternion dependency needed."""
     tf_mat = np.eye(4)
-    tf_mat[:3, :3] = rotation.rotation_matrix
+    if hasattr(rotation, 'rotation_matrix'):
+        tf_mat[:3, :3] = rotation.rotation_matrix
+    elif np.shape(rotation) == (3, 3):
+        tf_mat[:3, :3] = rotation
+    else:
+        tf_mat[:3, :3] = quat_wxyz_to_matrix(rotation)
     tf_mat[:3, 3] = translation
     return tf_mat
 
@@ -112,6 +126,46 @@ def project_pts3d(pc_cam: np.ndarray, cam_K: np.ndarray,
     out[mask_valid] = uvw[:, :2] / uvw[:, 2:3]
     mask_in_img = (out > 1) & (out < np.asarray(img_wh, float) - 1)
     return out, np.all(mask_in_img, axis=1) & mask_valid
+
+
+def project_points_to_rig(points: np.ndarray, cam_from_pts: np.ndarray,
+                          cam_K: np.ndarray, img_wh: np.ndarray,
+                          depth_thresh: float = 1e-3):
+    """Project (N,3) points onto a whole multi-camera rig in one batched
+    einsum pass (devkit-free; unit-tested).
+
+    Replaces the reference's per-camera loop with overwrite semantics
+    (nuscenes_obs_dataloader.py:178-199): a point inside several camera
+    frusta is assigned to the HIGHEST camera index — exactly the
+    "last projection wins" outcome of the loop.
+
+    Args:
+      points: (N, 3) points in a common frame.
+      cam_from_pts: (C, 4, 4) common-frame -> camera transforms.
+      cam_K: (C, 3, 3) intrinsics.
+      img_wh: (C, 2) image sizes.
+
+    Returns:
+      uv: (N, 2) pixel coordinates of the assigned camera (0 if none).
+      cam_idx: (N,) assigned camera index, -1 where no camera sees it.
+    """
+    n = points.shape[0]
+    local = np.einsum('cij,nj->cni', cam_from_pts[:, :3, :3],
+                      points[:, :3]) + cam_from_pts[:, None, :3, 3]
+    depth_ok = local[..., 2] > depth_thresh
+    uvw = np.einsum('cij,cnj->cni', cam_K, local)
+    w = np.where(depth_ok[..., None], uvw[..., 2:3], 1.0)
+    uv_all = np.where(depth_ok[..., None], uvw[..., :2] / w, -10.0)
+    wh = np.asarray(img_wh, float)[:, None, :]
+    inside = depth_ok & np.all((uv_all > 1) & (uv_all < wh - 1), axis=-1)
+    seen = inside.any(axis=0)
+    n_cams = cam_from_pts.shape[0]
+    cam_idx = np.where(seen,
+                       n_cams - 1 - inside[::-1].argmax(axis=0), -1)
+    uv = np.zeros((n, 2), float)
+    rows = np.flatnonzero(seen)
+    uv[rows] = uv_all[cam_idx[rows], rows]
+    return uv, cam_idx
 
 
 def remove_ego_vehicle_points(points: np.ndarray,
