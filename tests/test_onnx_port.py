@@ -1,0 +1,109 @@
+"""Name-based weight-port correctness (SURVEY.md hard part 4).
+
+The converter maps Flax leaves to mmseg/torch state-dict names; shape is
+an assertion, never the matching key. BatchNorm scale/bias/mean/var all
+share shape (C,), so these tests would catch any order-based scrambling:
+the roundtrip must reconstruct the exact tree, and forward outputs must
+be bit-identical."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pc_accumulation_lib_tpu.models import onnx_port
+from pc_accumulation_lib_tpu.models.resnet_semseg import (ResNet50DilatedFCN,
+                                                          init_params)
+
+
+@pytest.fixture(scope='module')
+def tiny():
+    model = ResNet50DilatedFCN(stage_sizes=(1, 1, 1, 1))
+    variables = init_params(model, jax.random.PRNGKey(3), img_hw=(32, 64))
+    # Make every leaf distinct so any mis-assignment changes values.
+    flat, treedef = jax.tree_util.tree_flatten(variables)
+    flat = [np.asarray(l) + 0.01 * (i + 1) for i, l in enumerate(flat)]
+    return model, jax.tree_util.tree_unflatten(treedef, flat)
+
+
+def test_roundtrip_reconstructs_exact_tree(tiny):
+    model, variables = tiny
+    named = onnx_port.export_named_tensors(variables)
+    # All torch names follow the mmseg convention.
+    assert all(k.startswith(('backbone.', 'decode_head.')) for k in named)
+    assert 'backbone.stem.0.weight' in named
+    assert 'backbone.layer1.0.downsample.1.running_var' in named
+    assert 'decode_head.conv_seg.bias' in named
+    rec = onnx_port.convert_named_tensors(named, variables=variables)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, variables, rec)
+
+
+def test_roundtrip_forward_bit_identical(tiny):
+    model, variables = tiny
+    rec = onnx_port.convert_named_tensors(
+        onnx_port.export_named_tensors(variables), variables=variables)
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 32, 64, 3)),
+        jnp.float32)
+    a = model.apply(variables, x, train=False)
+    b = model.apply(rec, x, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.argmax(a, -1), np.argmax(b, -1))
+
+
+def test_exporter_prefix_resolved_by_suffix(tiny):
+    model, variables = tiny
+    named = {'model.' + k: v
+             for k, v in onnx_port.export_named_tensors(variables).items()}
+    rec = onnx_port.convert_named_tensors(named, variables=variables)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, variables, rec)
+
+
+def test_missing_tensor_names_the_parameter(tiny):
+    model, variables = tiny
+    named = onnx_port.export_named_tensors(variables)
+    named.pop('backbone.layer2.0.bn2.running_mean')
+    with pytest.raises(ValueError, match='layer2_block1.*bn2.*mean'):
+        onnx_port.convert_named_tensors(named, variables=variables)
+
+
+def test_shape_mismatch_raises(tiny):
+    model, variables = tiny
+    named = onnx_port.export_named_tensors(variables)
+    named['decode_head.conv_seg.weight'] = \
+        named['decode_head.conv_seg.weight'][:, :8]
+    with pytest.raises(ValueError, match='Shape mismatch'):
+        onnx_port.convert_named_tensors(named, variables=variables)
+
+
+def test_bn_stats_not_scrambled(tiny):
+    """Swap two same-shaped BN tensors in the source: the by-name
+    converter must place them back under their own names (i.e. the swap
+    must be visible in the result — a shape-order matcher would be
+    insensitive to which went where)."""
+    model, variables = tiny
+    named = onnx_port.export_named_tensors(variables)
+    a, b = 'backbone.layer1.0.bn1.weight', 'backbone.layer1.0.bn1.bias'
+    named[a], named[b] = named[b], named[a]
+    rec = onnx_port.convert_named_tensors(named, variables=variables)
+    p = rec['params']['layer1_block1']['bn1']
+    np.testing.assert_array_equal(np.asarray(p['scale']), named[a])
+    np.testing.assert_array_equal(np.asarray(p['bias']), named[b])
+
+
+def test_onnx_graph_port():
+    """Full ONNX path (skipped where the onnx package is unavailable)."""
+    onnx = pytest.importorskip('onnx')
+    from onnx import numpy_helper
+    model = ResNet50DilatedFCN(stage_sizes=(1, 1, 1, 1))
+    variables = init_params(model, jax.random.PRNGKey(0), img_hw=(32, 64))
+    named = onnx_port.export_named_tensors(variables)
+    inits = [numpy_helper.from_array(np.asarray(v, np.float32), name=k)
+             for k, v in named.items()]
+    graph = onnx.helper.make_graph([], 'g', [], [], initializer=inits)
+    m = onnx.helper.make_model(graph)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'm.onnx')
+        onnx.save(m, path)
+        rec = onnx_port.load_onnx_variables(path, variables=variables)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, variables, rec)
