@@ -145,7 +145,7 @@ def main():
                  p_velo_frame=P_cam_frame @ H_velo_cam)
     accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=32,
                                 max_painted_points_per_frame=49152)
-    icp_cfg = cfg.ICPConfig(max_downsampled=2048, num_iters=16)
+    icp_cfg = cfg.ICPConfig(max_downsampled=4096, num_iters=16)
     # Random rotate/translate/zoom + polynomial warp augmentation: each
     # sample yields bevs_per_sample distinct BEVs (BASELINE config 5).
     # fetch_dtype='sparse': only occupied raster cells cross the tunnel

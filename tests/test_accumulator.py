@@ -163,10 +163,14 @@ def test_state_path_matches_standalone_generator(stream):
             b = np.asarray(bev_alone[k], np.float32)
             # f64-host vs f32-device transforms may push single borderline
             # points across a cell edge: allow a tiny fraction of cells to
-            # differ by a one-count step.
+            # differ. Count-derived channels step by at most a one-count
+            # ratio; min-z elevation can jump by the z-gap between points
+            # when a boundary point changes cells, so it only gets the
+            # fraction bound.
             mismatched = np.abs(a - b) > 2e-3
             assert mismatched.mean() < 0.005, k
-            assert np.abs(a - b).max() < 0.75, k
+            if not k.startswith('elevation'):
+                assert np.abs(a - b).max() < 0.75, k
 
 
 def test_frame_overflow_raises(stream):

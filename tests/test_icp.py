@@ -138,6 +138,73 @@ def test_warm_start_preserves_accuracy():
     np.testing.assert_allclose(steps, 2.0, atol=0.4)
 
 
+def test_long_horizon_drift_bounded():
+    """24-frame chained registration at the reference operating point
+    (threshold 1e3, identity init, kitti360_sem_pc_accum.py:123-126 +
+    sem_pc_accum.py:88): accumulated endpoint error stays under 0.5% of
+    the travelled path (VERDICT weak #5)."""
+    import numpy as np
+
+    from pc_accumulation_lib_tpu import config as cfg2
+    from pc_accumulation_lib_tpu.accum.kitti360 import (
+        Kitti360SemanticPointCloudAccumulator)
+    from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+        SyntheticKitti360Stream, make_calib)
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                 p_velo_frame=P_cam_frame @ H_velo_cam)
+    n_frames, step = 24, 2.0
+    stream = SyntheticKitti360Stream(n_frames=n_frames, step=step,
+                                     lidar_range=25.0, seed=3,
+                                     points_per_frame=4000,
+                                     yaw_rate=0.01)   # gentle curve
+    accum = Kitti360SemanticPointCloudAccumulator(
+        1e9, calib, 1e3, None, (255,), None, True,
+        dict(type='sem', view_size=40, pixel_size=32),
+        accum_cfg=cfg2.AccumConfig(max_points_per_frame=16384,
+                                   max_frames=32),
+        icp_cfg=cfg2.ICPConfig(max_downsampled=4096, num_iters=16))
+    for obs in stream:
+        accum.integrate(obs)
+    est = accum.get_pose()                       # world = first ego frame
+    true = np.stack([stream.ego_pose(i) for i in range(n_frames)])
+    true_rel = true - true[0]
+    # Estimated chain starts at the first ego pose (identity world frame).
+    est_rel = est - est[0]
+    path_len = np.sum(np.linalg.norm(np.diff(true, axis=0), axis=1))
+    endpoint_err = np.linalg.norm(est_rel[-1] - true_rel[-1])
+    assert endpoint_err < 0.005 * path_len, (endpoint_err, path_len)
+    # Per-frame error never explodes mid-sequence either.
+    per_frame = np.linalg.norm(est_rel - true_rel, axis=1)
+    assert per_frame.max() < 0.01 * path_len
+
+
+def test_trimmed_matches_accept_all_on_overlapped_frames():
+    """The default trim_ratio=0.9 is a deliberate divergence from the
+    reference's accept-all correspondences (threshold 1e3). On
+    well-overlapped consecutive frames the trimmed solver must be at
+    least as accurate as accept-all (VERDICT weak #5)."""
+    stream = SyntheticKitti360Stream(n_frames=2, step=1.5, lidar_range=25.0,
+                                     seed=5, points_per_frame=4000)
+    _, pc0, _ = stream.frame(0)
+    _, pc1, _ = stream.frame(1)
+    T_true = np.eye(4)
+    T_true[0, 3] = -1.5    # prev -> new ego coords (ego moved +x)
+
+    pre = icp.make_preprocess_fn(voxel_size=0.4, max_out=M, normal_k=10)
+    src = pre(*pad(pc0[:, :3]))    # prev
+    tgt = pre(*pad(pc1[:, :3]))    # new
+    errs = {}
+    for ratio in (0.9, 1.0):
+        reg = icp.make_register_fn(num_iters=16, trim_ratio=ratio)
+        T, _, n_corr = reg(src, tgt, jnp.eye(4, dtype=jnp.float32),
+                           jnp.float32(1e3))
+        assert float(n_corr) > 200
+        errs[ratio] = np.linalg.norm(np.asarray(T) - T_true)
+    assert errs[0.9] <= errs[1.0] + 1e-3, errs
+    assert errs[1.0] < 0.08   # accept-all itself converges here too
+
+
 def test_coarse_to_fine_recovers_large_step():
     """Coarse-to-fine registration (ICPConfig.coarse_to_fine) recovers 4 m
     inter-frame steps that single-scale identity-init ICP cannot."""
