@@ -33,9 +33,41 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     bev/core.make_raster_fn (unpack with bev_core.unpack_maps). M must be
     divisible by the points-axis size.
     """
+    body = _make_shard_body(view_size, pixel_size, sem_idxs, int_scaler,
+                            int_sep_scaler, int_mid_threshold, rgb_fill,
+                            points_axis)
+
+    pt_spec = P(points_axis)
+    rep_spec = P()
+
+    def build(gen_future):
+        f = functools.partial(body, gen_future=gen_future)
+        return jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(pt_spec, pt_spec, pt_spec, rep_spec, rep_spec),
+            out_specs=rep_spec)
+
+    fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
+
+    def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
+        packed = params.pack() if isinstance(params,
+                                             bev_core.RasterParams) \
+            else params
+        return fns[bool(gen_future)](points, valid, pt_frame_ids, inst_dyn,
+                                     jnp.asarray(packed))
+
+    return raster
+
+
+def _make_shard_body(view_size, pixel_size, sem_idxs, int_scaler,
+                     int_sep_scaler, int_mid_threshold, rgb_fill,
+                     points_axis):
+    """Per-shard raster pipeline closing over the static BEV config; the
+    psum/pmin partial combination binds ``points_axis`` only, so the body
+    works replicated (make_sharded_raster_fn) or vmapped over a stream
+    axis (make_multistream_raster_fn)."""
     Px = pixel_size
     sem_idxs = dict(sem_idxs)
-    all_axes = tuple(mesh.axis_names)
 
     def shard_body(points, valid, pt_frame_ids, inst_dyn, packed,
                    gen_future):
@@ -97,26 +129,7 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
                       maps[base + 5], maps[base + 6]]
         return jnp.stack(final).astype(jnp.float16)
 
-    pt_spec = P(points_axis)
-    rep_spec = P()
-
-    def build(gen_future):
-        body = functools.partial(shard_body, gen_future=gen_future)
-        return jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(pt_spec, pt_spec, pt_spec, rep_spec, rep_spec),
-            out_specs=rep_spec)
-
-    fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
-
-    def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
-        packed = params.pack() if isinstance(params,
-                                             bev_core.RasterParams) \
-            else params
-        return fns[bool(gen_future)](points, valid, pt_frame_ids, inst_dyn,
-                                     jnp.asarray(packed))
-
-    return raster
+    return shard_body
 
 
 def shard_points_to_mesh(mesh: Mesh, points, valid, pt_frame_ids,
@@ -125,3 +138,46 @@ def shard_points_to_mesh(mesh: Mesh, points, valid, pt_frame_ids,
     s = NamedSharding(mesh, P(points_axis))
     return (jax.device_put(points, s), jax.device_put(valid, s),
             jax.device_put(pt_frame_ids, s))
+
+
+def make_multistream_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
+                               int_scaler, int_sep_scaler, int_mid_threshold,
+                               rgb_fill=0, data_axis: str = 'data',
+                               points_axis: str = 'points'):
+    """Batched multi-scene raster over a 2-D ('data','points') mesh.
+
+    The 'data' axis carries INDEPENDENT accumulation streams (the
+    TPU-native form of the reference's manual scene sharding across
+    process launches, run_nuscenes_bev_gen.py:44-45): stream s runs
+    entirely on data-row s mod data_size, its points shard over that
+    row's 'points' axis, and psum/pmin partials stay within the row
+    (vmap'd collectives bind only the points axis).
+
+    fn(points (S,M,10), valid (S,M), pt_frame_ids (S,M), inst_dyn (S,K),
+       packed (S,31), gen_future: static bool) -> (S, C, P, P) f16 stacks,
+    one per stream, laid out P('data') so each row holds its own results.
+    S must be divisible by the data-axis size, M by the points-axis size.
+    """
+    body = _make_shard_body(view_size, pixel_size, sem_idxs, int_scaler,
+                            int_sep_scaler, int_mid_threshold, rgb_fill,
+                            points_axis)
+
+    def build(gen_future):
+        def ms_body(points, valid, fids, inst_dyn, packed):
+            one = functools.partial(body, gen_future=gen_future)
+            return jax.vmap(one)(points, valid, fids, inst_dyn, packed)
+
+        pt2 = P(data_axis, points_axis)
+        row = P(data_axis)
+        return jax.shard_map(
+            ms_body, mesh=mesh,
+            in_specs=(pt2, pt2, pt2, row, row),
+            out_specs=row)
+
+    fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
+
+    def raster(points, valid, pt_frame_ids, inst_dyn, packed, gen_future):
+        return fns[bool(gen_future)](points, valid, pt_frame_ids, inst_dyn,
+                                     jnp.asarray(packed))
+
+    return raster

@@ -56,6 +56,52 @@ def test_sharded_raster_matches_single_device(rng):
                                    atol=atol, err_msg=k)
 
 
+def test_multistream_raster_matches_sequential(rng):
+    """Two independent scene streams on a (2,4) mesh — each stream's
+    raster rides its own data-axis row — must equal running each stream
+    through the single-chip raster sequentially (VERDICT weak #7: the
+    'data' axis gets a real job)."""
+    mesh = mesh_mod.make_mesh((2, 4))
+    streams = []
+    for s in range(2):
+        pts, valid, fids = make_points(rng)
+        params = core.identity_params(window=(0, 9), present_frame=4 + s)
+        params = params._replace(rot_ang=0.3 * s, trans_dx=0.5 * s)
+        streams.append((pts, valid, fids, params))
+
+    single = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5)
+    expected = [
+        np.asarray(single(jnp.asarray(p), jnp.asarray(v), jnp.asarray(f),
+                          jnp.zeros(4, jnp.float32), pr.pack(), True),
+                   np.float32)
+        for p, v, f, pr in streams
+    ]
+
+    ms = sharded.make_multistream_raster_fn(mesh, 40.0, P, SEM_IDXS, 20.,
+                                            20., 0.5)
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    pts_b = jax.device_put(
+        np.stack([s[0] for s in streams]),
+        NamedSharding(mesh, PS('data', 'points')))
+    val_b = jax.device_put(
+        np.stack([s[1] for s in streams]),
+        NamedSharding(mesh, PS('data', 'points')))
+    fid_b = jax.device_put(
+        np.stack([s[2] for s in streams]),
+        NamedSharding(mesh, PS('data', 'points')))
+    inst_b = jax.device_put(np.zeros((2, 4), np.float32),
+                            NamedSharding(mesh, PS('data')))
+    packed_b = jax.device_put(
+        np.stack([s[3].pack() for s in streams]),
+        NamedSharding(mesh, PS('data')))
+    got = np.asarray(ms(pts_b, val_b, fid_b, inst_b, packed_b, True),
+                     np.float32)
+    assert got.shape == (2, *expected[0].shape)
+    for s in range(2):
+        np.testing.assert_allclose(got[s], expected[s], atol=2e-3,
+                                   err_msg=f'stream {s}')
+
+
 def test_sharded_raster_present_only(rng):
     mesh = mesh_mod.make_mesh((1, 8))
     pts, valid, fids = make_points(rng)
