@@ -354,6 +354,38 @@ class SemBEVGenerator:
         return (jnp.asarray(flat), jnp.asarray(valid), jnp.asarray(fids),
                 gen_future)
 
+    # ------------------------------------------------------------------
+    # Alternative elevation-based partition (parity util)
+    # ------------------------------------------------------------------
+    def get_elevation_map(self, pc: np.ndarray):
+        """Per-cell min-z elevation map from PIXEL-coordinate points
+        (sem_bev.py:535-554): pc[:, 0]=i, pc[:, 1]=j, pc[:, 2]=z; row
+        index is vertically flipped (j_rev = P-1-j). Vectorized via
+        np.minimum.at instead of the reference's per-point loop."""
+        P = self.pixel_size
+        i = pc[:, 0].astype(int)
+        j_rev = P - 1 - pc[:, 1].astype(int)
+        elevmap = np.full((P, P), np.inf)
+        np.minimum.at(elevmap, (j_rev, i), pc[:, 2])
+        obs_mask = np.isfinite(elevmap)
+        elevmap[~obs_mask] = 0.0
+        return elevmap, obs_mask
+
+    def static_obj_partitioning_by_elev(self, pc: np.ndarray,
+                                        elev_thresh: float):
+        """Partition points into static/dynamic by height above the
+        per-cell min elevation (reference sem_bev.py:556-591 — the unused
+        alternative to the GT-box dyn flag): points more than
+        ``elev_thresh`` above their cell's min z get pc[:, 8] = 1.
+        Returns (pc_static, pc_dynamic, elevmap, elevmap_obs_mask)."""
+        P = self.pixel_size
+        elevmap, obs_mask = self.get_elevation_map(pc)
+        i = pc[:, 0].astype(int)
+        j_rev = P - 1 - pc[:, 1].astype(int)
+        above = pc[:, 2] > elevmap[j_rev, i] + elev_thresh
+        pc[above, 8] = 1
+        return (pc[pc[:, 8] == 0], pc[pc[:, 8] == 1], elevmap, obs_mask)
+
     def viz_bev(self, bev, file_path, rgbs=None, semsegs=None):
         from pc_accumulation_lib_tpu.bev import viz
         viz.viz_bev(bev, file_path, self.pixel_size, self.height_filter,

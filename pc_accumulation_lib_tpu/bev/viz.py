@@ -1,8 +1,15 @@
 """BEV visualization PNG export.
 
-Reproduces the SemBEVGenerator.viz_bev panel layout (sem_bev.py:264-533):
-rows = [road, dynamic | intensity, elevation | rgb, gt_lanes | camera rgbs],
-columns = present/future/full, red ego/other trajectories with arrow heads.
+Counterpart of SemBEVGenerator.viz_bev (sem_bev.py:264-533): channel
+panels x present/future/full splits, red ego/other trajectories with
+arrow heads, GT lanes over road_full, camera images with a road-class
+overlay. Deliberate improvements over the reference panel:
+
+  * collision-free grid — the reference places dynamic at subplots 4-6
+    and intensity at num_cols+1.. which OVERLAP whenever num_cols == 3
+    (i.e. <=3 camera images), silently overdrawing two channel rows;
+    here every channel family gets its own row;
+  * per-subplot titles and colorbars on the scalar maps.
 """
 from __future__ import annotations
 
@@ -31,60 +38,70 @@ def viz_bev(bev, file_path, pixel_size, height_filter=None, rgbs=(),
             semsegs=()):
     H = pixel_size
     num_imgs = len(rgbs)
-    num_cols = num_imgs if num_imgs > 3 else 3
-    num_rows = 4 if num_imgs > 0 else 3
 
-    def rgb_img(key):
-        arr = np.transpose(np.asarray(bev[key], np.float32), (1, 2, 0))
-        return (arr * 255).astype(int)
-
-    if 'road_future' in bev:
-        splits = ('present', 'future', 'full')
-        fig_size = 6
-        plt.figure(figsize=(fig_size * num_cols, fig_size * num_rows))
-        elev_hi = height_filter if height_filter is not None else 3.0
-        for idx, s in enumerate(splits):
-            plt.subplot(num_rows, num_cols, 1 + idx)
-            plt.imshow(np.asarray(bev[f'road_{s}'], np.float32), vmin=0,
-                       vmax=1)
-            _plot_trajs(bev[f'trajs_{s}'], H)
-        for idx, s in enumerate(splits):
-            plt.subplot(num_rows, num_cols, 4 + idx)
-            plt.imshow(np.asarray(bev[f'dynamic_{s}'], np.float32), vmin=0,
-                       vmax=1)
-            _plot_trajs(bev[f'trajs_{s}'], H)
-        for idx, s in enumerate(splits):
-            plt.subplot(num_rows, num_cols, num_cols + 1 + idx)
-            plt.imshow(np.asarray(bev[f'intensity_{s}'], np.float32),
-                       vmin=0, vmax=1)
-            _plot_trajs(bev[f'trajs_{s}'], H)
-        for idx, s in enumerate(splits):
-            plt.subplot(num_rows, num_cols, num_cols + 4 + idx)
-            plt.imshow(np.asarray(bev[f'elevation_{s}'], np.float32),
-                       vmin=-0.5, vmax=elev_hi)
-            _plot_trajs(bev[f'trajs_{s}'], H)
-        for idx, s in enumerate(splits):
-            plt.subplot(num_rows, num_cols, 2 * num_cols + 1 + idx)
-            plt.imshow(rgb_img(f'rgb_{s}'))
-            _plot_trajs(bev[f'trajs_{s}'], H)
-        if 'gt_lanes' in bev:
-            plt.subplot(num_rows, num_cols, 2 * num_cols + 4 if num_cols > 3
-                        else 2 * num_cols + 3)
-            plt.imshow(np.asarray(bev['road_full'], np.float32), vmin=0,
-                       vmax=1)
-            for lane in bev['gt_lanes']:
-                _plot_trajs([lane], H, color='k')
-        for idx in range(num_imgs):
-            plt.subplot(num_rows, num_cols, 3 * num_cols + idx + 1)
-            plt.imshow(rgbs[idx])
-            if idx < len(semsegs) and semsegs[idx] is not None:
-                plt.imshow(np.asarray(semsegs[idx]) == 0, alpha=0.5, vmin=0,
-                           vmax=1)
-    else:
+    if 'road_future' not in bev:
         plt.figure(figsize=(6, 6))
         plt.imshow(np.asarray(bev['road_present'], np.float32), vmin=0,
                    vmax=1)
+        plt.title('road_present')
         _plot_trajs(bev['trajs_present'], H)
+        plt.tight_layout()
+        plt.savefig(file_path)
+        plt.clf()
+        plt.close()
+        return
+
+    splits = ('present', 'future', 'full')
+    elev_hi = height_filter if height_filter is not None else 3.0
+    # (channel family, imshow kwargs, show colorbar)
+    rows = [
+        ('road', dict(vmin=0, vmax=1), True),
+        ('dynamic', dict(vmin=0, vmax=1), True),
+        ('intensity', dict(vmin=0, vmax=1), True),
+        ('elevation', dict(vmin=-0.5, vmax=elev_hi), True),
+        ('rgb', {}, False),
+    ]
+    num_cols = max(3, num_imgs)
+    num_rows = len(rows) + (1 if num_imgs > 0 else 0)
+    plt.figure(figsize=(6 * num_cols, 6 * num_rows))
+
+    for r, (family, kw, cbar) in enumerate(rows):
+        for c, s in enumerate(splits):
+            plt.subplot(num_rows, num_cols, r * num_cols + c + 1)
+            if family == 'rgb':
+                img = np.transpose(
+                    np.asarray(bev[f'rgb_{s}'], np.float32), (1, 2, 0))
+                plt.imshow((img * 255).astype(int))
+            else:
+                plt.imshow(np.asarray(bev[f'{family}_{s}'], np.float32),
+                           **kw)
+                if cbar:
+                    plt.colorbar(fraction=0.046)
+            plt.title(f'{family}_{s}')
+            _plot_trajs(bev[f'trajs_{s}'], H)
+        if family == 'rgb' and 'gt_lanes' in bev and num_cols > 3:
+            plt.subplot(num_rows, num_cols, r * num_cols + 4)
+            plt.imshow(np.asarray(bev['road_full'], np.float32), vmin=0,
+                       vmax=1)
+            plt.title('gt_lanes over road_full')
+            for lane in bev['gt_lanes']:
+                _plot_trajs([lane], H, color='k')
+
+    if 'gt_lanes' in bev and num_cols == 3:
+        # No spare column: draw lanes over the last rgb panel's row in a
+        # dedicated figure-bottom slot instead of colliding (see module
+        # docstring on the reference's overlap).
+        plt.subplot(num_rows, num_cols, (len(rows) - 1) * num_cols + 3)
+        for lane in bev['gt_lanes']:
+            _plot_trajs([lane], H, color='k')
+
+    for idx in range(num_imgs):
+        plt.subplot(num_rows, num_cols, len(rows) * num_cols + idx + 1)
+        plt.imshow(rgbs[idx])
+        plt.title(f'camera {idx}')
+        if idx < len(semsegs) and semsegs[idx] is not None:
+            plt.imshow(np.asarray(semsegs[idx]) == 0, alpha=0.5, vmin=0,
+                       vmax=1)
 
     plt.tight_layout()
     plt.savefig(file_path)
