@@ -180,7 +180,17 @@ def main(argv=None):
     parser.add_argument('--height_filter', type=float, default=None)
     parser.add_argument('--icp_threshold', type=float, default=1e3)
     parser.add_argument('--no_viz', action='store_true')
+    # Multi-host bring-up (jax.distributed; SURVEY.md section 5). Each
+    # process runs its own scene shard; the resumable manifest
+    # (parallel/manifest.py) deduplicates across restarts.
+    parser.add_argument('--coordinator_address', type=str, default=None)
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
     args = parser.parse_args(argv)
+
+    from pc_accumulation_lib_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost(args.coordinator_address, args.num_processes,
+                         args.process_id)
 
     semseg_model = None
     if not args.use_gt_sem:
