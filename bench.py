@@ -143,7 +143,9 @@ def main():
     H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
     calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
                  p_velo_frame=P_cam_frame @ H_velo_cam)
-    accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=32,
+    # max_frames sized to the horizon (40 m / ~1.9 m per frame ~ 21 live
+    # frames): dead buffer rows cost sort time in every raster.
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=24,
                                 max_painted_points_per_frame=49152)
     icp_cfg = cfg.ICPConfig(max_downsampled=4096, num_iters=16)
     # Random rotate/translate/zoom + polynomial warp augmentation: each
@@ -155,7 +157,10 @@ def main():
                       max_trans_radius=3.0, zoom_thresh=0.05, do_warp=True,
                       int_scaler=20., int_sep_scaler=20.,
                       int_mid_threshold=0.5, height_filter=None,
-                      fetch_dtype='sparse')
+                      # Corridor occupancy measured ~5.9k cells/split;
+                      # 12288 gives 2x headroom (overflow falls back to a
+                      # dense fetch per sample, never wrong).
+                      fetch_dtype='sparse', sparse_cap=12288)
     bevs_per_sample = 8
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(
@@ -189,17 +194,22 @@ def main():
     # while the main thread keeps dispatching — the device queue, the
     # tunnel, and host assembly all stay busy concurrently.
     from concurrent.futures import ThreadPoolExecutor
+    # Loop order matters: the worker starts fetching batch i-1 BEFORE the
+    # main thread blocks on frame i's pose fetch (which waits out batch
+    # i-1's raster compute), so the tunnel transfer and host decode run
+    # under that same compute window; rasters(i) are dispatched before
+    # collecting the worker, so the device never idles.
     timer = PhaseTimer()
     t0 = time.perf_counter()
     n_samples = 0
     fut = None
+    handle = None
     with ThreadPoolExecutor(max_workers=1) as ex:
         for i in range(warmup_frames, n_frames):
             with timer.phase('integrate dispatch'):
                 h_int = accum.integrate([frames[i]], async_fetch=True)
-            if fut is not None:
-                with timer.phase('harvest previous batch'):
-                    n_samples += len(fut.result())
+            if handle is not None:
+                fut = ex.submit(handle)
             with timer.phase('integrate finalize (pose fetch)'):
                 h_int()
             with timer.phase('raster dispatch'):
@@ -207,9 +217,11 @@ def main():
                     present_idx=len(accum.poses) - 2,
                     bev_num=bevs_per_sample, gen_future=True,
                     async_fetch=True)
-            fut = ex.submit(handle)
+            if fut is not None:
+                with timer.phase('harvest previous batch'):
+                    n_samples += len(fut.result())
         with timer.phase('harvest previous batch'):
-            n_samples += len(fut.result())
+            n_samples += len(handle())
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 

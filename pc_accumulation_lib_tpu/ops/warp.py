@@ -56,12 +56,15 @@ def warp_dense_maps(maps, a_1, a_2, b_1, b_2):
 
     Matches warp_dense_probmaps (bev_generator.py:482-525):
     B[:, jw, iw] = A[:, j(jw), i(iw)] with j from the b-params over the row
-    index and i from the a-params over the column index.
+    index and i from the a-params over the column index. The warp is
+    separable, so it lowers as two single-axis takes instead of one 2-D
+    fancy gather (which XLA runs at scatter speed, ~1e8 elem/s — measured
+    ~10 ms per 24x256x256 stack on TPU v5e; the takes are ~free).
     """
     n_rows, n_cols = maps.shape[-2], maps.shape[-1]
     row_src = _poly_index_map(b_1, b_2, n_rows)
     col_src = _poly_index_map(a_1, a_2, n_cols)
-    return maps[..., row_src[:, None], col_src[None, :]]
+    return jnp.take(jnp.take(maps, row_src, axis=-2), col_src, axis=-1)
 
 
 def _inverse_quadratic(x, a_1, a_2):
