@@ -157,9 +157,10 @@ def main():
                       max_trans_radius=3.0, zoom_thresh=0.05, do_warp=True,
                       int_scaler=20., int_sep_scaler=20.,
                       int_mid_threshold=0.5, height_filter=None,
-                      # Corridor occupancy measured ~5.9k cells/split;
-                      # 12288 gives 2x headroom (overflow falls back to a
-                      # dense fetch per sample, never wrong).
+                      # Corridor occupancy runs up to ~12k cells/split at
+                      # the 40 m window (bench prints the observed max);
+                      # undersizing the cap silently falls back to dense
+                      # fetches and tanks throughput ~3x — size generously.
                       fetch_dtype='sparse', sparse_cap=12288)
     bevs_per_sample = 8
     model = SemSegTPU(seed=0)
@@ -172,56 +173,42 @@ def main():
 
     # Warmup: triggers all compiles (semseg, paint, ICP, insert, raster).
     t_warm = time.perf_counter()
-    for i in range(warmup_frames):
-        accum.integrate([frames[i]])
-    _ = accum.generate_bev(present_idx=len(accum.poses) - 2,
-                           bev_num=bevs_per_sample, gen_future=True)
+    accum.integrate([frames[0]])
+    for i in range(1, warmup_frames):
+        accum.step([frames[i]], bev_num=bevs_per_sample, gen_future=True)
     jax.effects_barrier()
     # Cold compile cache: shorten the timed phase so the run still finishes
     # inside a driver timeout (steady-state rate is unaffected).
     if time.perf_counter() - t_warm > 240:
         n_frames = warmup_frames + 6
 
-    # Timed steady-state: one integrate + bevs_per_sample augmented BEV
-    # samples per iteration (semseg + ICP + accumulate + rasterize + warp).
-    # Software pipeline per iteration: dispatch integrate(i); fetch frame
-    # i-1's BEV stacks while integrate(i) + rasters(i-1) compute under the
-    # transfer; then finalize integrate(i)'s (already-streamed) pose fetch
-    # and dispatch rasters(i), whose compute hides under iteration i+1's
-    # fetch.
-    # The transfer wait (np.asarray) and the host assemble (numpy) both
-    # release the GIL, so a single worker thread harvests sample batches
-    # while the main thread keeps dispatching — the device queue, the
-    # tunnel, and host assembly all stay busy concurrently.
+    # Timed steady-state: one accum.step per iteration = one fused
+    # integrate (semseg + ICP + paint + insert + eviction window) plus
+    # bevs_per_sample augmented rasters — ALL dispatched with zero host
+    # fetches: the raster's pose-dependent params ride the device pose
+    # chain (accum/kitti360.py pose_params_vec), so the main thread never
+    # waits on device compute. Every fetch (pose bookkeeping + per-sample
+    # quantized sparse stacks, async-copied at dispatch) happens inside the
+    # step handle, which a single worker thread drains one step behind —
+    # transfers and host decode overlap the NEXT step's compute, and the
+    # fut.result() wait is the only backpressure.
     from concurrent.futures import ThreadPoolExecutor
-    # Loop order matters: the worker starts fetching batch i-1 BEFORE the
-    # main thread blocks on frame i's pose fetch (which waits out batch
-    # i-1's raster compute), so the tunnel transfer and host decode run
-    # under that same compute window; rasters(i) are dispatched before
-    # collecting the worker, so the device never idles.
     timer = PhaseTimer()
     t0 = time.perf_counter()
     n_samples = 0
     fut = None
-    handle = None
     with ThreadPoolExecutor(max_workers=1) as ex:
         for i in range(warmup_frames, n_frames):
-            with timer.phase('integrate dispatch'):
-                h_int = accum.integrate([frames[i]], async_fetch=True)
-            if handle is not None:
-                fut = ex.submit(handle)
-            with timer.phase('integrate finalize (pose fetch)'):
-                h_int()
-            with timer.phase('raster dispatch'):
-                handle = accum.generate_bev(
-                    present_idx=len(accum.poses) - 2,
-                    bev_num=bevs_per_sample, gen_future=True,
-                    async_fetch=True)
+            with timer.phase('dispatch step (integrate + rasters)'):
+                handle = accum.step([frames[i]], bev_num=bevs_per_sample,
+                                    gen_future=True, async_fetch=True)
+            nxt = ex.submit(handle)
             if fut is not None:
-                with timer.phase('harvest previous batch'):
+                with timer.phase('harvest previous step'):
                     n_samples += len(fut.result())
-        with timer.phase('harvest previous batch'):
-            n_samples += len(handle())
+            fut = nxt
+        with timer.phase('harvest previous step'):
+            n_samples += len(fut.result())
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 
@@ -229,6 +216,10 @@ def main():
     print('--- phase breakdown (steady state) ---', file=sys.stderr)
     print(timer.report(), file=sys.stderr)
     print(f'total {dt:.3f}s for {n_samples} samples', file=sys.stderr)
+    gen = accum.sem_bev_generator
+    print(f'sparse fetch: max {gen.max_occupied} occupied cells '
+          f'(cap {gen.sparse_cap}), {gen.sparse_overflows} dense fallbacks',
+          file=sys.stderr)
     result = {
         'metric': 'e2e_bev_samples_per_sec_per_chip',
         'value': round(samples_per_sec, 3),

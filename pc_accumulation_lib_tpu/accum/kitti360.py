@@ -66,6 +66,14 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._T_new_prev_last = np.eye(4)
         self._T_world_dev = None     # device-side pose chain (see common())
         self._T_new_prev_dev = None
+        # Device-side eviction-window state: seg_ring[g % F] = path segment
+        # ending at global frame g; window_start scalar. The horizon logic
+        # of base.remove_observations (sem_pc_accum.py:185-209) runs INSIDE
+        # the fused step so BEV dispatch never waits on a host pose fetch
+        # (see step()); host bookkeeping mirrors it at fetch time.
+        self._seg_ring_dev = None
+        self._ws_dev = None
+        self._pose_vec_dev = None    # (22,) pose-dependent raster params
         self.transfer_dtype = transfer_dtype
         self._fused = self._build_fused_step()
 
@@ -85,6 +93,44 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         model = self.semseg_model
         P_velo_frame = jnp.asarray(self.P_velo_frame)
         max_corr = jnp.float32(self.icp_cfg.max_corr_dist)
+        horizon = jnp.float32(self.horizon_dist)
+
+        def window_update(seg_ring, ws, T_world, T_world_prev, frame_id,
+                          first):
+            """Device mirror of base.remove_observations
+            (sem_pc_accum.py:185-209): append this frame's path segment,
+            then advance the window past the memory horizon. Exact same
+            argmax-over-cumsum formulation as the host code."""
+            R = seg_ring.shape[0]
+            if first:
+                return seg_ring, ws, jnp.float32(0)
+            seg = jnp.linalg.norm(T_world[:3, 3] - T_world_prev[:3, 3])
+            seg_ring = seg_ring.at[frame_id % R].set(seg)
+            # Window segments in global-id order ws+1 .. frame_id.
+            gids = ws + 1 + jnp.arange(R)
+            segs = jnp.where(gids <= frame_id, seg_ring[gids % R], 0.0)
+            path = jnp.sum(segs)
+            overshoot = path - horizon
+            cond = (jnp.cumsum(segs) - overshoot > 0.) & (gids <= frame_id)
+            idx = jnp.where(path > horizon,
+                            jnp.argmax(cond).astype(jnp.int32), 0)
+            return seg_ring, ws + idx, path
+
+        def pose_params_vec(T_world, T_world_prev, ws, frame_id):
+            """(22,) pose-dependent half of bev/core.RasterParams.pack()
+            for the 'latest-1' present policy (present_idx = len-2):
+            [T_ref_world(16), bev_coords(3), window_min, window_max,
+            present_frame]. Rigid inverse keeps it f32-exact."""
+            R, t = T_world[:3, :3], T_world[:3, 3]
+            T_ref = jnp.zeros((4, 4), jnp.float32)
+            T_ref = T_ref.at[:3, :3].set(R.T)
+            T_ref = T_ref.at[:3, 3].set(-R.T @ t)
+            T_ref = T_ref.at[3, 3].set(1.0)
+            bev_coords = R.T @ (T_world_prev[:3, 3] - t)
+            f = frame_id.astype(jnp.float32)
+            return jnp.concatenate([
+                T_ref.reshape(-1), bev_coords,
+                jnp.stack([ws.astype(jnp.float32), f, f - 1.0])])
 
         def dequant(pc_pad):
             if pc_pad.dtype == jnp.int16:   # quantized transfer (5 mm)
@@ -93,8 +139,8 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
 
         warm = self.icp_cfg.warm_start
 
-        def common(state, prev_cloud, T_world_prev, T_init, pc_pad, valid,
-                   frame_id, first, painted_fn):
+        def common(state, prev_cloud, T_world_prev, T_init, seg_ring, ws,
+                   pc_pad, valid, frame_id, first, painted_fn):
             new_cloud = self._icp_pre(pc_pad[:, :3], valid)
             if first:
                 T_new_prev = jnp.eye(4, dtype=jnp.float32)
@@ -110,17 +156,26 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             painted, valid_out, n_valid = buffer.compact_rows(
                 painted, valid_out, cap)
             state = buffer.insert_frame(state, painted, valid_out, frame_id)
+            seg_ring, ws_new, path = window_update(seg_ring, ws, T_world,
+                                                   T_world_prev, frame_id,
+                                                   first)
+            pose_vec = pose_params_vec(T_world, T_world_prev, ws_new,
+                                       frame_id)
             packed = jnp.concatenate([
                 T_world.reshape(-1), T_new_prev.reshape(-1),
-                jnp.stack([n_valid.astype(jnp.float32), n_corr])])
-            # T_world / T_new_prev returned as device arrays too: the pose
-            # chain threads device->device between frames so dispatching
-            # frame k+1 never waits on frame k's host fetch (the packed
-            # vector is fetched lazily for bookkeeping only).
-            return state, new_cloud, packed, T_world, T_new_prev
+                jnp.stack([n_valid.astype(jnp.float32), n_corr,
+                           ws_new.astype(jnp.float32), path])])
+            # T_world / T_new_prev / window state / pose_vec returned as
+            # device arrays: the pose chain AND the BEV raster params thread
+            # device->device between frames, so dispatching frame k+1's
+            # integrate or frame k's rasters never waits on a host fetch
+            # (the packed vector is fetched lazily for bookkeeping only).
+            return (state, new_cloud, packed, T_world, T_new_prev, seg_ring,
+                    ws_new, pose_vec)
 
-        def camera_step(state, prev_cloud, T_world_prev, T_init, variables,
-                        pc_pad, valid, rgb_img, frame_id, first):
+        def camera_step(state, prev_cloud, T_world_prev, T_init, seg_ring,
+                        ws, variables, pc_pad, valid, rgb_img, frame_id,
+                        first):
             pc_pad = dequant(pc_pad)
             if rgb_img.dtype == jnp.uint8:  # quantized transfer
                 rgb_img = rgb_img.astype(jnp.float32)
@@ -132,18 +187,18 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 return buffer.paint_frame_camera(
                     pc_pad, valid, rgb_img, semseg, P_velo_frame, T_world,
                     filters)
-            return common(state, prev_cloud, T_world_prev, T_init, pc_pad,
-                          valid, frame_id, first, painted_fn)
+            return common(state, prev_cloud, T_world_prev, T_init, seg_ring,
+                          ws, pc_pad, valid, frame_id, first, painted_fn)
 
-        def gt_step(state, prev_cloud, T_world_prev, T_init, pc_pad, valid,
-                    sem_gt, frame_id, first):
+        def gt_step(state, prev_cloud, T_world_prev, T_init, seg_ring, ws,
+                    pc_pad, valid, sem_gt, frame_id, first):
             pc_pad = dequant(pc_pad)
 
             def painted_fn(T_world):
                 return buffer.paint_frame_gt(pc_pad, valid, sem_gt, T_world,
                                              filters)
-            return common(state, prev_cloud, T_world_prev, T_init, pc_pad,
-                          valid, frame_id, first, painted_fn)
+            return common(state, prev_cloud, T_world_prev, T_init, seg_ring,
+                          ws, pc_pad, valid, frame_id, first, painted_fn)
 
         if self.use_gt_sem or model is None:
             return jax.jit(gt_step, static_argnames=('first',),
@@ -188,10 +243,9 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         def finalize() -> int:
             num_removed = 0
             for h in handles:
-                h()
+                _, _, idx, path_length = h()
+                num_removed += idx
                 if len(self.poses) > 1:
-                    idx, path_length = self.remove_observations()
-                    num_removed += idx
                     print(f'    #pc {len(self.poses)} |',
                           f'path length {path_length:.2f}')
             return num_removed
@@ -217,27 +271,36 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                                             jnp.float32)
             self._T_new_prev_dev = jnp.asarray(self._T_new_prev_last,
                                                jnp.float32)
+            self._seg_ring_dev = jnp.zeros((self.accum_cfg.max_frames,),
+                                           jnp.float32)
+            self._ws_dev = jnp.int32(self.window_start)
         fid = jnp.int32(self.frame_count)
 
         if self.use_gt_sem or self.semseg_model is None:
             sem_flat = np.zeros(self.accum_cfg.max_points_per_frame,
                                 np.float32)
             sem_flat[:pc.shape[0]] = np.asarray(sem_gt).reshape(-1)
-            state, new_cloud, packed, t_w, t_np = self._fused(
+            out = self._fused(
                 self.state, prev_cloud, self._T_world_dev,
-                self._T_new_prev_dev, pc_pad, valid, jnp.asarray(sem_flat),
-                fid, first)
+                self._T_new_prev_dev, self._seg_ring_dev, self._ws_dev,
+                pc_pad, valid, jnp.asarray(sem_flat), fid, first)
         else:
             rgb_arr = self._prep_rgb(rgb)
-            state, new_cloud, packed, t_w, t_np = self._fused(
+            out = self._fused(
                 self.state, prev_cloud, self._T_world_dev,
-                self._T_new_prev_dev, self.semseg_model.variables, pc_pad,
-                valid, rgb_arr, fid, first)
+                self._T_new_prev_dev, self._seg_ring_dev, self._ws_dev,
+                self.semseg_model.variables, pc_pad, valid, rgb_arr, fid,
+                first)
+        (state, new_cloud, packed, t_w, t_np, seg_ring, ws_new,
+         pose_vec) = out
 
         self.state = state
         self._icp_prev_cloud = new_cloud
         self._T_world_dev = t_w
         self._T_new_prev_dev = t_np
+        self._seg_ring_dev = seg_ring
+        self._ws_dev = ws_new
+        self._pose_vec_dev = pose_vec
         # Reserve the frame id now (dispatch order); meta appended at fetch.
         self.frame_count += 1
         try:
@@ -260,9 +323,77 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             self._T_new_prev_last = T_new_prev
             self._append_frame_meta(T_world_velo, rgb, None,
                                     count_frame=False)
-            return T_world_velo, T_new_prev
+            # Mirror the device eviction (window_update in the fused step):
+            # trim host bookkeeping to the device-computed window.
+            if len(self.poses) > 1:
+                self.seg_dists.append(self.dist(
+                    np.array(self.poses[-1]), np.array(self.poses[-2])))
+            idx = int(vec[34]) - self.window_start
+            path_length = float(vec[35])
+            if idx > 0:
+                self.poses = self.poses[idx:]
+                self.seg_dists = self.seg_dists[idx:]
+                self.T_world_velo = self.T_world_velo[idx:]
+                self.rgbs = self.rgbs[idx:]
+                self.semsegs = self.semsegs[idx:]
+                self.window_start += idx
+            return T_world_velo, T_new_prev, idx, path_length
 
         return fetch
+
+    def step(self, observations: list, bev_num: int = 1,
+             gen_future: bool = True, async_fetch: bool = False):
+        """Fully pipelined integrate + BEV sampling at the 'latest-1'
+        present policy (present_idx = len(poses)-2, the bench/run-script
+        sampling point, run_kitti360_bev_gen.py:218-240).
+
+        Unlike integrate() + generate_bev(), ALL device work — ICP, semseg,
+        paint, insert, eviction-window update, and ``bev_num`` augmented
+        rasters — is dispatched without a single host fetch: the raster's
+        pose-dependent parameters (T_ref_world, bev_coords, window) come
+        from the device pose chain (pose_params_vec in the fused step).
+        The host pose fetch and the stack fetches all happen inside the
+        returned finalize, so a caller thread can overlap them with the
+        next step's compute. Returns the BEV dict list (or a zero-arg
+        callable yielding it when ``async_fetch``).
+        """
+        handles = [self._dispatch_obs(obs) for obs in observations]
+        pose_vec = self._pose_vec_dev
+        gen = self.sem_bev_generator
+        f, n, d = self.state.points.shape
+        flat_pts = self.state.points.reshape(f * n, d)
+        flat_valid = self.state.valid.reshape(f * n)
+        pt_fids = jnp.repeat(self.state.frame_ids, n)
+
+        def trajs_fn():
+            # Runs inside finalize, after the integrate fetch has synced
+            # host poses/window for exactly this step.
+            pi = len(self.poses) - 2
+            T_ref_world = self._ref_transform()
+            poses_ref = self._poses_ref(T_ref_world)
+            bev_coords = poses_ref[pi]
+            trajs = {'ego_traj_present': poses_ref[:pi] - bev_coords,
+                     'other_trajs_present': []}
+            if gen_future:
+                trajs['ego_traj_future'] = poses_ref[pi:] - bev_coords
+                trajs['ego_traj_full'] = poses_ref - bev_coords
+                trajs['other_trajs_future'] = []
+                trajs['other_trajs_full'] = []
+            return trajs
+
+        bev_handle = gen.generate_samples_device(
+            flat_pts, flat_valid, pt_fids, self.state.inst_dyn, pose_vec,
+            bev_num, gen_future, trajs_fn)
+
+        def finalize():
+            for h in handles:
+                _, _, _, path_length = h()
+                if len(self.poses) > 1:
+                    print(f'    #pc {len(self.poses)} |',
+                          f'path length {path_length:.2f}')
+            return bev_handle()
+
+        return finalize if async_fetch else finalize()
 
     def obs2sem_vec_space(self, rgb, pc: np.ndarray,
                           sem_gt: Optional[np.ndarray] = None):
@@ -274,5 +405,5 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         new-ego coords; world chain T_w_k = T_w_{k-1} @ inv(T_new_prev).
         """
         fetch = self._dispatch_obs((rgb, pc, sem_gt))
-        _, T_new_prev = fetch()
+        _, T_new_prev, _, _ = fetch()
         return None, self.poses[-1], None, T_new_prev

@@ -96,6 +96,11 @@ class SemBEVGenerator:
         self._rng = np.random.default_rng(seed)
         self.sparse_cap = (core.default_sparse_cap(self.pixel_size)
                            if sparse_cap is None else int(sparse_cap))
+        # Sparse-fetch telemetry: undersizing sparse_cap silently falls
+        # back to dense fetches (correct but ~7x the bytes) — callers size
+        # the cap from max_occupied (bench.py prints both).
+        self.sparse_overflows = 0
+        self.max_occupied = 0
         self._sparse_empty = core.sparse_empty_values(
             int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
         if mesh is not None:
@@ -210,12 +215,10 @@ class SemBEVGenerator:
         # multiprocessing.Pool fan-out, kitti360_sem_pc_accum.py:236-241.
         # Per-sample dispatch, not one vmapped raster: batched sort
         # serializes.)
-        outs = [
+        outs = self._encode_outs([
             self._raster(points, valid, pt_frame_ids, inst_dyn, pk,
                          gen_future) for pk in packed
-        ]
-        if self.fetch_dtype == 'quantized':
-            outs = [core.quantize_stack(s) for s in outs]
+        ])
         for o in outs:
             s = o[0] if isinstance(o, tuple) else o
             try:
@@ -233,18 +236,84 @@ class SemBEVGenerator:
 
         return finalize if async_fetch else finalize()
 
+    def generate_samples_device(self, points, valid, pt_frame_ids, inst_dyn,
+                                pose_vec, n_samples: int, gen_future: bool,
+                                trajs_fn):
+        """Like generate_samples, but the pose-dependent half of the raster
+        params (T_ref_world, bev_coords, window — RasterParams fields 0..21)
+        arrives as a DEVICE vector ``pose_vec`` threaded from the
+        accumulator's fused integrate step: dispatching the rasters needs
+        no host fetch at all (accum/kitti360.step). ``trajs_fn`` is called
+        inside the returned finalize, after the caller has synced host
+        poses, and must return the metric-space traj dict of
+        generate_samples. Randomized augmentation only (the heading-aligned
+        fallback needs host poses at dispatch time)."""
+        hf = np.inf if self.height_filter is None else self.height_filter
+        draws, outs = [], []
+        for _ in range(n_samples):
+            if self.do_aug:
+                rot_ang, dx, dy, zoom = self._draw_geom_aug()
+            else:
+                rot_ang, dx, dy, zoom = 0.5 * np.pi, 0.0, 0.0, 1.0
+            w = self._draw_warp()
+            aug9 = jnp.asarray(np.array(
+                [rot_ang, dx, dy, zoom, w['a1'], w['a2'], w['b1'], w['b2'],
+                 hf], np.float32))
+            packed = jnp.concatenate([pose_vec, aug9])
+            draws.append((rot_ang, dx, dy, zoom, w))
+            outs.append(self._raster(points, valid, pt_frame_ids, inst_dyn,
+                                     packed, gen_future))
+        outs = self._encode_outs(outs)
+        for o in outs:
+            s = o[0] if isinstance(o, tuple) else o
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass
+
+        def finalize() -> List[Dict]:
+            trajs = trajs_fn()
+            stacks = [self._fetch_stack(o, gen_future) for o in outs]
+            return [
+                self._assemble(stacks[i], trajs, rot_ang, dx, dy,
+                               zoom * self.view_size, w, gen_future)
+                for i, (rot_ang, dx, dy, zoom, w) in enumerate(draws)
+            ]
+
+        return finalize
+
+    def _encode_outs(self, outs):
+        """Apply the transfer encoding to freshly-dispatched raster
+        outputs. Sparse outputs additionally get their dense
+        overflow-fallback stack quantized on device (7x fewer bytes on the
+        rare fetch that needs it)."""
+        if self.fetch_dtype == 'quantized':
+            return [core.quantize_stack(s) for s in outs]
+        if self.fetch_dtype == 'sparse':
+            return [(o[0], core.quantize_stack(o[1])) for o in outs]
+        return outs
+
     def _fetch_stack(self, out, gen_future) -> np.ndarray:
         """Fetch + decode one raster output to a (C,P,P) float16 numpy
         stack, per fetch_dtype ('sparse' outputs are (sparse, dense)
-        tuples — the dense stack is fetched only on capacity overflow)."""
+        tuples — the dense stack, pre-quantized at dispatch, is fetched
+        only on capacity overflow)."""
         if self.fetch_dtype == 'sparse':
             sparse, dense = out
+            raw = np.asarray(sparse)
+            S = 3 if gen_future else 1
+            n_occ = int(np.ascontiguousarray(raw[-4 * S:]).view(
+                np.int32).max())
+            self.max_occupied = max(self.max_occupied, n_occ)
             try:
                 return core.decode_sparse_stack(
-                    np.asarray(sparse), gen_future, self.pixel_size,
-                    self.sparse_cap, self._sparse_empty)
+                    raw, gen_future, self.pixel_size, self.sparse_cap,
+                    self._sparse_empty)
             except core.SparseOverflow:
-                return np.asarray(dense)
+                self.sparse_overflows += 1
+                return core.dequantize_stack_batch(
+                    np.asarray(dense)[None], gen_future,
+                    self.pixel_size)[0]
         if self.fetch_dtype == 'quantized':
             return core.dequantize_stack_batch(
                 np.asarray(out)[None], gen_future, self.pixel_size)[0]
@@ -308,10 +377,9 @@ class SemBEVGenerator:
             warp_a1=float(w['a1']), warp_a2=float(w['a2']),
             warp_b1=float(w['b1']), warp_b2=float(w['b2']))
         inst_dyn = jnp.zeros((1,), jnp.float32)
-        out = self._raster(points, valid, fids, inst_dyn, params.pack(),
-                           gen_future)
-        if self.fetch_dtype == 'quantized':
-            out = core.quantize_stack(out)
+        out = self._encode_outs([
+            self._raster(points, valid, fids, inst_dyn, params.pack(),
+                         gen_future)])[0]
         return self._assemble(self._fetch_stack(out, gen_future), trajs,
                               rot_ang, trans_dx, trans_dy,
                               zoom_scalar * self.view_size, w, gen_future)

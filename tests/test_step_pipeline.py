@@ -1,0 +1,120 @@
+"""Pipelined accum.step() vs classic integrate()+generate_bev() parity.
+
+step() (accum/kitti360.py) dispatches integrate + rasters with ZERO host
+fetches by threading the pose-dependent raster params (T_ref_world,
+bev_coords, eviction window) through the device pose chain. These tests pin
+it to the classic two-call path: same BEV maps, same trajectories, same
+eviction behavior across a horizon-crossing drive.
+"""
+import numpy as np
+import pytest
+
+from pc_accumulation_lib_tpu import config as cfg
+from pc_accumulation_lib_tpu.accum.kitti360 import (
+    Kitti360SemanticPointCloudAccumulator)
+from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+    SyntheticKitti360Stream, make_calib)
+
+N_FRAMES = 12
+HORIZON = 12.0  # crossed around frame 7 at 2 m steps -> eviction exercised
+
+
+def _make_accum(seed=0):
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                 p_velo_frame=P_cam_frame @ H_velo_cam)
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=8192, max_frames=10,
+                                max_painted_points_per_frame=8192)
+    icp_cfg = cfg.ICPConfig(max_downsampled=512, num_iters=8)
+    bev_params = dict(type='sem', view_size=40, pixel_size=64,
+                      max_trans_radius=2.0, zoom_thresh=0.05, do_warp=True,
+                      int_scaler=20., int_sep_scaler=20.,
+                      int_mid_threshold=0.5)
+    return Kitti360SemanticPointCloudAccumulator(
+        HORIZON, calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
+        cfg.DEFAULT_SEM_IDXS, True, bev_params, accum_cfg=accum_cfg,
+        icp_cfg=icp_cfg, seed=seed)
+
+
+def _frames():
+    stream = SyntheticKitti360Stream(n_frames=N_FRAMES, step=2.0,
+                                     lidar_range=25.0, seed=3,
+                                     points_per_frame=3000)
+    return [stream.frame(i) for i in range(N_FRAMES)]
+
+
+@pytest.fixture(scope='module')
+def both_paths():
+    frames = _frames()
+    a_cls = _make_accum(seed=7)   # classic: integrate + generate_bev
+    a_new = _make_accum(seed=7)   # pipelined: step()
+    out_cls, out_new = [], []
+    meta = []
+    a_cls.integrate([frames[0]])
+    a_new.integrate([frames[0]])
+    for i in range(1, N_FRAMES):
+        a_cls.integrate([frames[i]])
+        out_cls.append(a_cls.generate_bev(
+            present_idx=len(a_cls.poses) - 2, bev_num=2, gen_future=True))
+        out_new.append(a_new.step([frames[i]], bev_num=2, gen_future=True))
+        meta.append((list(a_cls.poses), a_cls.window_start,
+                     list(a_new.poses), a_new.window_start))
+    return out_cls, out_new, meta
+
+
+def test_eviction_and_poses_match(both_paths):
+    _, _, meta = both_paths
+    evicted = False
+    for poses_c, ws_c, poses_n, ws_n in meta:
+        assert ws_c == ws_n
+        assert len(poses_c) == len(poses_n)
+        np.testing.assert_allclose(np.array(poses_c), np.array(poses_n),
+                                   atol=1e-5)
+        evicted |= ws_c > 0
+    assert evicted, 'horizon eviction never triggered — test config broken'
+
+
+def test_bev_maps_match(both_paths):
+    out_cls, out_new, _ = both_paths
+    assert len(out_cls) == len(out_new)
+    for bevs_c, bevs_n in zip(out_cls, out_new):
+        assert len(bevs_c) == len(bevs_n) == 2
+        for bc, bn in zip(bevs_c, bevs_n):
+            assert set(bc.keys()) == set(bn.keys())
+            for k in bc:
+                if k.startswith('trajs') or k == 'gt_lanes':
+                    continue
+                # Same RNG seed -> same aug draws; device-side rigid
+                # inverse vs host float64 inv differs at f32 eps, which can
+                # flip points on exact cell boundaries -> tiny local diffs.
+                mism = np.mean(np.abs(np.asarray(bc[k], np.float32)
+                                      - np.asarray(bn[k], np.float32))
+                               > 2e-2)
+                assert mism < 0.02, (k, mism)
+
+
+def test_trajs_match(both_paths):
+    out_cls, out_new, _ = both_paths
+    for bevs_c, bevs_n in zip(out_cls, out_new):
+        for bc, bn in zip(bevs_c, bevs_n):
+            for k in ('trajs_present', 'trajs_future', 'trajs_full'):
+                assert len(bc[k]) == len(bn[k])
+                for tc, tn in zip(bc[k], bn[k]):
+                    np.testing.assert_allclose(tc, tn, atol=1.0)
+
+
+def test_step_async_fetch_matches_sync():
+    frames = _frames()
+    a1, a2 = _make_accum(seed=5), _make_accum(seed=5)
+    a1.integrate([frames[0]])
+    a2.integrate([frames[0]])
+    for i in range(1, 4):
+        b_sync = a1.step([frames[i]], bev_num=1, gen_future=True)
+        handle = a2.step([frames[i]], bev_num=1, gen_future=True,
+                         async_fetch=True)
+        b_async = handle()
+        for k in b_sync[0]:
+            if k.startswith('trajs'):
+                continue
+            np.testing.assert_array_equal(np.asarray(b_sync[0][k]),
+                                          np.asarray(b_async[0][k]))
