@@ -87,11 +87,18 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
         sem, [sem_idxs[nm] for nm in DYN_OBJ_CLASSES]).astype(jnp.float32)
     int_road = intensity.astype(jnp.float32) * road_f
 
+    pallas_ok = use_pallas and sent % 512 == 0
+    # Pallas path: z is a payload only (the kernel's per-group min is
+    # order-independent), so a 1-key sort suffices — a 2-key comparator
+    # costs ~2x on the main sort (measured on v5e). The XLA fallback reads
+    # the min as the segment-start element, which NEEDS z as a secondary
+    # key.
     sorted_ops = jax.lax.sort(
-        (c2, z.astype(jnp.float32), int_road, road_f, dyn_f), num_keys=2)
+        (c2, z.astype(jnp.float32), int_road, road_f, dyn_f),
+        num_keys=1 if pallas_ok else 2)
     s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
 
-    if use_pallas and sent % 512 == 0:
+    if pallas_ok:
         # One bandwidth-bound Pallas pass for every sum + the z-min
         # (ops/pallas_stats.py) instead of cumsums + a per-group
         # searchsorted; the median boundary table comes from the counts.
