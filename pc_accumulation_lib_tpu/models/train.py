@@ -99,3 +99,64 @@ def make_train_setup(mesh: Mesh, lr: float = 1e-3, img_hw=(64, 128),
                           step=state.step + 1), loss
 
     return state, train_step
+
+
+def make_pipelined_train_setup(mesh, n_microbatches: int = 4,
+                               microbatch: int = 2, hw=(8, 16),
+                               channels: int = 16, lr: float = 1e-2,
+                               seed: int = 0):
+    """Pipeline-parallel (GPipe) trainer over the mesh's 'pp' axis.
+
+    Stages a stack of S identical residual conv blocks — the homogeneous
+    slice of the dilated backbone (each pp rank holds ONE stage's params,
+    parallel/pipeline.py schedules microbatches through the ppermute
+    ring; jax.grad pipelines the backward pass for free because ppermute
+    transposes to the reverse ring).
+
+    Returns (state, train_step) with
+    train_step(state, xs (M,mb,H,W,C), ys like xs) -> (state, loss).
+    """
+    import flax.linen as nn
+
+    from pc_accumulation_lib_tpu.parallel import pipeline as pp
+
+    S = mesh.shape['pp']
+
+    class Block(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Conv(channels, (3, 3), padding='SAME', name='conv')(x)
+            return x + nn.relu(y)
+
+    block = Block()
+    x0 = jnp.zeros((microbatch, hw[0], hw[1], channels), jnp.float32)
+    per_stage = [
+        block.init(jax.random.PRNGKey(seed + s), x0)['params']
+        for s in range(S)
+    ]
+    stacked = pp.place_stage_params(pp.stack_stage_params(per_stage), mesh)
+
+    def stage_fn(params, x):
+        return block.apply({'params': params}, x)
+
+    run = pp.gpipe_apply(stage_fn, mesh)
+    tx = optax.adam(lr)
+    state = TrainState(variables={'params': stacked},
+                       opt_state=tx.init(stacked),
+                       step=jnp.zeros((), jnp.int32))
+
+    def loss_fn(params, xs, ys):
+        return jnp.mean((run(params, xs) - ys) ** 2)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, xs, ys):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.variables['params'], xs, ys)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.variables['params'])
+        params = optax.apply_updates(state.variables['params'], updates)
+        return TrainState(variables={'params': params},
+                          opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    return state, train_step
