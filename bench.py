@@ -143,8 +143,10 @@ def main():
     H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
     calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
                  p_velo_frame=P_cam_frame @ H_velo_cam)
-    # max_frames sized to the horizon (40 m / ~1.9 m per frame ~ 21 live
-    # frames): dead buffer rows cost sort time in every raster.
+    # max_frames sized to the horizon: 40 m / ~1.9 m per frame ~ 21 live
+    # frames, plus eviction lag and the pre-eviction transient (23 raises
+    # the frame-overflow guard). Dead buffer rows cost sort time in every
+    # raster, so don't oversize either.
     accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=24,
                                 max_painted_points_per_frame=49152)
     icp_cfg = cfg.ICPConfig(max_downsampled=4096, num_iters=16)
@@ -157,11 +159,12 @@ def main():
                       max_trans_radius=3.0, zoom_thresh=0.05, do_warp=True,
                       int_scaler=20., int_sep_scaler=20.,
                       int_mid_threshold=0.5, height_filter=None,
-                      # Corridor occupancy runs up to ~12k cells/split at
-                      # the 40 m window (bench prints the observed max);
-                      # undersizing the cap silently falls back to dense
-                      # fetches and tanks throughput ~3x — size generously.
-                      fetch_dtype='sparse', sparse_cap=12288)
+                      # Pre-warp corridor occupancy peaks ~15.2k cells/
+                      # split at the 40 m window (bench prints the observed
+                      # max); an undersized cap silently falls back to
+                      # quantized-dense fetches (1.57 MB vs 0.42 MB/sample)
+                      # — a predictable 16384 beats stochastic fallbacks.
+                      fetch_dtype='sparse', sparse_cap=16384)
     bevs_per_sample = 8
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(

@@ -177,8 +177,6 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                           chs[f'rgb_{name}'][2], chs[f'dynamic_{name}'],
                           chs[f'elevation_{name}']]
             if pack == 'sparse':
-                # Count channels ride through the (pure-gather) warp so the
-                # post-warp occupancy is exact.
                 stack += [chs[f'count_{name}'] for name in meta]
         else:
             splits = {'present': static_m & present_m}
@@ -197,8 +195,16 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                           ch['rgb'][1], ch['rgb'][2], ch['dynamic'],
                           ch['elevation']]
         maps = jnp.stack(stack)
-        maps = warp_ops.warp_dense_maps(maps, params.warp_a1, params.warp_a2,
-                                        params.warp_b1, params.warp_b2)
+        if pack != 'sparse':
+            # Sparse mode ships PRE-warp maps: the warp is a pure
+            # reindexing (two axis takes) that commutes with every later
+            # elementwise op, and warp duplication inflates the occupied-
+            # cell count ~1.5x — so the host applies it after decode
+            # (ops/warp.warp_dense_maps_np) and the sparse fetch stays at
+            # pre-warp occupancy.
+            maps = warp_ops.warp_dense_maps(maps, params.warp_a1,
+                                            params.warp_a2, params.warp_b1,
+                                            params.warp_b2)
 
         # Road-marking transform on the intensity channels, then pack the
         # whole channel stack as ONE float16 array: the host unpacks with

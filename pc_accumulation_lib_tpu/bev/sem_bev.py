@@ -227,11 +227,11 @@ class SemBEVGenerator:
                 pass
 
         def finalize() -> List[Dict]:
-            stacks = [self._fetch_stack(o, gen_future) for o in outs]
             return [
-                self._assemble(stacks[i], trajs, rot_ang, dx, dy,
-                               zoom * self.view_size, w, gen_future)
-                for i, (rot_ang, dx, dy, zoom, w) in enumerate(draws)
+                self._assemble(self._fetch_stack(o, gen_future, w), trajs,
+                               rot_ang, dx, dy, zoom * self.view_size, w,
+                               gen_future)
+                for o, (rot_ang, dx, dy, zoom, w) in zip(outs, draws)
             ]
 
         return finalize if async_fetch else finalize()
@@ -273,11 +273,11 @@ class SemBEVGenerator:
 
         def finalize() -> List[Dict]:
             trajs = trajs_fn()
-            stacks = [self._fetch_stack(o, gen_future) for o in outs]
             return [
-                self._assemble(stacks[i], trajs, rot_ang, dx, dy,
-                               zoom * self.view_size, w, gen_future)
-                for i, (rot_ang, dx, dy, zoom, w) in enumerate(draws)
+                self._assemble(self._fetch_stack(o, gen_future, w), trajs,
+                               rot_ang, dx, dy, zoom * self.view_size, w,
+                               gen_future)
+                for o, (rot_ang, dx, dy, zoom, w) in zip(outs, draws)
             ]
 
         return finalize
@@ -293,11 +293,12 @@ class SemBEVGenerator:
             return [(o[0], core.quantize_stack(o[1])) for o in outs]
         return outs
 
-    def _fetch_stack(self, out, gen_future) -> np.ndarray:
+    def _fetch_stack(self, out, gen_future, w=None) -> np.ndarray:
         """Fetch + decode one raster output to a (C,P,P) float16 numpy
-        stack, per fetch_dtype ('sparse' outputs are (sparse, dense)
-        tuples — the dense stack, pre-quantized at dispatch, is fetched
-        only on capacity overflow)."""
+        stack, per fetch_dtype. 'sparse' outputs are (sparse, dense)
+        tuples shipped PRE-warp (bev/core.py): the dense stack,
+        pre-quantized at dispatch, is fetched only on capacity overflow,
+        and the polynomial warp ``w`` is applied host-side here."""
         if self.fetch_dtype == 'sparse':
             sparse, dense = out
             raw = np.asarray(sparse)
@@ -306,14 +307,18 @@ class SemBEVGenerator:
                 np.int32).max())
             self.max_occupied = max(self.max_occupied, n_occ)
             try:
-                return core.decode_sparse_stack(
+                stack = core.decode_sparse_stack(
                     raw, gen_future, self.pixel_size, self.sparse_cap,
                     self._sparse_empty)
             except core.SparseOverflow:
                 self.sparse_overflows += 1
-                return core.dequantize_stack_batch(
+                stack = core.dequantize_stack_batch(
                     np.asarray(dense)[None], gen_future,
                     self.pixel_size)[0]
+            if w is not None and w['active']:
+                stack = warp_ops.warp_dense_maps_np(
+                    stack, w['a1'], w['a2'], w['b1'], w['b2'])
+            return stack
         if self.fetch_dtype == 'quantized':
             return core.dequantize_stack_batch(
                 np.asarray(out)[None], gen_future, self.pixel_size)[0]
@@ -380,7 +385,7 @@ class SemBEVGenerator:
         out = self._encode_outs([
             self._raster(points, valid, fids, inst_dyn, params.pack(),
                          gen_future)])[0]
-        return self._assemble(self._fetch_stack(out, gen_future), trajs,
+        return self._assemble(self._fetch_stack(out, gen_future, w), trajs,
                               rot_ang, trans_dx, trans_dy,
                               zoom_scalar * self.view_size, w, gen_future)
 

@@ -67,6 +67,28 @@ def warp_dense_maps(maps, a_1, a_2, b_1, b_2):
     return jnp.take(jnp.take(maps, row_src, axis=-2), col_src, axis=-1)
 
 
+def warp_dense_maps_np(maps, a_1, a_2, b_1, b_2):
+    """Numpy twin of warp_dense_maps for HOST-side warping.
+
+    The warp is a pure reindexing, so it commutes with every elementwise
+    op after it; the sparse fetch path (bev/core.py pack='sparse') ships
+    PRE-warp cells (warp duplication inflates occupancy ~1.5x, measured
+    up to 18.7k vs 12.6k cells) and applies the warp here after decode.
+    Index math is float32 rint/clip, bit-identical to the jnp version.
+    """
+    import numpy as _np
+    n_rows, n_cols = maps.shape[-2], maps.shape[-1]
+
+    def idx_map(a1, a2, n):
+        k = _np.arange(n, dtype=_np.float32)
+        src = _np.rint(_np.float32(a1) * k
+                       + _np.float32(a2) * k * k).astype(_np.int32)
+        return _np.clip(src, 0, n - 1)
+
+    return _np.take(_np.take(maps, idx_map(b_1, b_2, n_rows), axis=-2),
+                    idx_map(a_1, a_2, n_cols), axis=-1)
+
+
 def _inverse_quadratic(x, a_1, a_2):
     """Closed-form inverse of y = a1*x + a2*x^2 with the reference's
     degenerate-case guard (bev_generator.py:570-581). Pure numpy: this runs
