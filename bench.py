@@ -165,7 +165,7 @@ def main():
                       # quantized-dense fetches (1.57 MB vs 0.42 MB/sample)
                       # — a predictable 16384 beats stochastic fallbacks.
                       fetch_dtype='sparse', sparse_cap=16384)
-    bevs_per_sample = 8
+    bevs_per_sample = 16
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(
         40.0, calib, 1e3, model, cfg.DEFAULT_SEMSEG_FILTERS,

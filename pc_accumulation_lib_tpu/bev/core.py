@@ -101,7 +101,7 @@ def default_sparse_cap(pixel_size: int) -> int:
 def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                    int_sep_scaler, int_mid_threshold, rgb_fill=0,
                    backend='sort', use_pallas=None, pack=None,
-                   sparse_cap=None):
+                   sparse_cap=None, hist_medians=True):
     """Build the jitted raster core with static BEV config baked in.
 
     ``backend``: 'sort' (default — sort/cumsum/boundary formulation,
@@ -129,6 +129,13 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
         use_pallas = jax.default_backend() == 'tpu'
 
     def raster(points, valid, pt_frame_ids, inst_dyn, packed, gen_future):
+        # ``packed`` is either the (31,) vector or a (pose_vec22, aug9)
+        # tuple — the split form lets callers combine the device pose
+        # chain with host aug draws inside THIS jit instead of paying an
+        # eager concatenate dispatch per sample (accum/kitti360.step).
+        if isinstance(packed, tuple):
+            packed = jnp.concatenate([packed[0],
+                                      jnp.asarray(packed[1], jnp.float32)])
         params = unpack_params(packed)
         xyz = points[:, :3]
         # World -> BEV reference frame, shift to BEV origin
@@ -169,7 +176,8 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
             base_m = static_m if gen_future else (static_m & present_m)
             chs = sort_raster.sorted_split_stats(
                 cells, base_m, ~present_m, z, inten, rgb, sem, sem_idxs,
-                P, gen_future, rgb_fill=rgb_fill, use_pallas=use_pallas)
+                P, gen_future, rgb_fill=rgb_fill, use_pallas=use_pallas,
+                hist_medians=hist_medians)
             stack = []
             for name in meta:
                 stack += [chs[f'road_{name}'], chs[f'intensity_{name}'],
@@ -224,7 +232,10 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
         if pack != 'sparse':
             return dense
         counts = maps[len(meta) * n_ch:]
-        return _pack_sparse(dense, counts, P, sparse_cap, len(meta)), dense
+        # The dense overflow fallback ships u8-quantized (7x fewer bytes),
+        # fused here so callers don't pay a separate quantize dispatch.
+        return (_pack_sparse(dense, counts, P, sparse_cap, len(meta)),
+                quantize_stack_batch(dense[None])[0])
 
     return jax.jit(raster, static_argnames=('gen_future',))
 

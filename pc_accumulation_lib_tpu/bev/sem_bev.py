@@ -256,13 +256,14 @@ class SemBEVGenerator:
             else:
                 rot_ang, dx, dy, zoom = 0.5 * np.pi, 0.0, 0.0, 1.0
             w = self._draw_warp()
-            aug9 = jnp.asarray(np.array(
+            aug9 = np.array(
                 [rot_ang, dx, dy, zoom, w['a1'], w['a2'], w['b1'], w['b2'],
-                 hf], np.float32))
-            packed = jnp.concatenate([pose_vec, aug9])
+                 hf], np.float32)
             draws.append((rot_ang, dx, dy, zoom, w))
+            # Tuple form: the pose_vec||aug concat happens inside the
+            # raster jit (one dispatch per sample instead of two).
             outs.append(self._raster(points, valid, pt_frame_ids, inst_dyn,
-                                     packed, gen_future))
+                                     (pose_vec, aug9), gen_future))
         outs = self._encode_outs(outs)
         for o in outs:
             s = o[0] if isinstance(o, tuple) else o
@@ -284,13 +285,10 @@ class SemBEVGenerator:
 
     def _encode_outs(self, outs):
         """Apply the transfer encoding to freshly-dispatched raster
-        outputs. Sparse outputs additionally get their dense
-        overflow-fallback stack quantized on device (7x fewer bytes on the
-        rare fetch that needs it)."""
+        outputs ('sparse' outputs come back already encoded: the raster
+        fuses the sparse pack AND the quantized dense fallback)."""
         if self.fetch_dtype == 'quantized':
             return [core.quantize_stack(s) for s in outs]
-        if self.fetch_dtype == 'sparse':
-            return [(o[0], core.quantize_stack(o[1])) for o in outs]
         return outs
 
     def _fetch_stack(self, out, gen_future, w=None) -> np.ndarray:

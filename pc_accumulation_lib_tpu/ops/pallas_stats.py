@@ -32,10 +32,16 @@ CHUNK = 512
 ALIGN = 128
 WIN = 512
 W_PAD = 8  # weight rows padded to the f32 sublane tile
+N_BINS = 256  # u8 value histogram bins (rgb medians)
 
 
 def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
-            key_buf, wt_buf, key_sem, wt_sem, *, n_pad):
+            *rest, n_pad, hist_rows=()):
+    if hist_rows:
+        hist_ref, key_buf, wt_buf, key_sem, wt_sem = rest
+    else:
+        hist_ref = None
+        key_buf, wt_buf, key_sem, wt_sem = rest
     w = pl.program_id(0)
     start = win_start_ref[w]
     length = win_len_ref[w]
@@ -43,6 +49,8 @@ def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
 
     sum_ref[...] = jnp.zeros_like(sum_ref)
     min_ref[...] = jnp.full_like(min_ref, jnp.inf)
+    if hist_ref is not None:
+        hist_ref[...] = jnp.zeros_like(hist_ref)
 
     B = CHUNK + ALIGN
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, WIN), 1)
@@ -85,16 +93,35 @@ def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
         zmask = jnp.where(onehot, z[:, None], jnp.inf)     # (C, K)
         min_ref[0, 0, :] = jnp.minimum(min_ref[0, 0, :],
                                        jnp.min(zmask, axis=0))
+
+        if hist_ref is not None:
+            # Per-group 256-bin value histograms for each hist row (rgb
+            # medians): one-hot of the u8 value @ the group one-hot —
+            # both operands exact in bf16, counts exact in f32. Replaces
+            # 6 median SORTS per raster (~60% of raster time) with MXU
+            # work.
+            oh_b16 = onehot.astype(jnp.bfloat16)
+            bins = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, B), 0)
+            for hi, row in enumerate(hist_rows):
+                val = wt_buf[row, :].astype(jnp.int32)     # (B,) 0..255
+                vh = (bins == val[None, :]).astype(jnp.bfloat16)
+                h = jax.lax.dot_general(
+                    vh, oh_b16,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (N_BINS, K)
+                hist_ref[0, hi] += h
         return 0
 
     nchunks = pl.cdiv(length, CHUNK)
     jax.lax.fori_loop(0, nchunks, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=('num_groups', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('num_groups', 'interpret',
+                                             'hist_rows'))
 def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
-                 interpret=False):
-    """Per-group sums and z-min over sorted keys.
+                 interpret=False, hist_rows=()):
+    """Per-group sums and z-min (and optional value histograms) over
+    sorted keys.
 
     Args:
       sorted_keys: (1, Npad) int32 ascending group ids (pad = num_groups).
@@ -104,12 +131,34 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
       win_start/win_len: (num_windows,) int32 point ranges per WIN-group
         window (from a coarse searchsorted).
       num_groups: static; multiple of WIN.
+      hist_rows: static tuple of weight-row indices holding u8 values in
+        [0,256) — for each, a per-group N_BINS histogram is accumulated
+        on the MXU (exact integer counts in f32).
 
-    Returns (sums (num_groups, W_PAD), zmin (num_groups,)).
+    Returns (sums (num_groups, W_PAD), zmin (num_groups,)[, hists
+    (len(hist_rows), N_BINS, num_groups)]).
     """
     assert num_groups % WIN == 0
     num_windows = num_groups // WIN
     n_pad = sorted_keys.shape[1]
+    n_hist = len(hist_rows)
+    out_specs = [
+        pl.BlockSpec((1, W_PAD, WIN), lambda w, *_: (w, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, WIN), lambda w, *_: (w, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_windows, W_PAD, WIN), jnp.float32),
+        jax.ShapeDtypeStruct((num_windows, 1, WIN), jnp.float32),
+    ]
+    if n_hist:
+        out_specs.append(
+            pl.BlockSpec((1, n_hist, N_BINS, WIN), lambda w, *_: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_windows, n_hist, N_BINS, WIN),
+                                 jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_windows,),
@@ -117,12 +166,7 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((1, W_PAD, WIN), lambda w, *_: (w, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, WIN), lambda w, *_: (w, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((1, CHUNK + ALIGN), jnp.int32),
             pltpu.VMEM((W_PAD, CHUNK + ALIGN), jnp.float32),
@@ -130,17 +174,21 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    sums, mins = pl.pallas_call(
-        functools.partial(_kernel, n_pad=n_pad),
-        out_shape=[
-            jax.ShapeDtypeStruct((num_windows, W_PAD, WIN), jnp.float32),
-            jax.ShapeDtypeStruct((num_windows, 1, WIN), jnp.float32),
-        ],
+    outs = pl.pallas_call(
+        functools.partial(_kernel, n_pad=n_pad, hist_rows=hist_rows),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(win_start, win_len, sorted_keys, weights_t)
+    sums, mins = outs[0], outs[1]
     sums = jnp.transpose(sums, (0, 2, 1)).reshape(num_groups, W_PAD)
-    return sums, mins.reshape(num_groups)
+    mins = mins.reshape(num_groups)
+    if not n_hist:
+        return sums, mins
+    # (nw, H, BINS, WIN) -> (H, BINS, num_groups)
+    hists = jnp.transpose(outs[2], (1, 2, 0, 3)).reshape(
+        n_hist, N_BINS, num_groups)
+    return sums, mins, hists
 
 
 def window_boundaries(sorted_keys_1d, num_groups):
@@ -152,11 +200,14 @@ def window_boundaries(sorted_keys_1d, num_groups):
 
 
 def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
-                    interpret=False):
+                    interpret=False, value_rows=()):
     """Convenience wrapper: per-group sums for each row in ``weight_rows``
-    (list of (N,) f32 aligned with the sorted keys) and per-group z-min.
+    (list of (N,) f32 aligned with the sorted keys) and per-group z-min;
+    optionally per-group N_BINS value histograms for each (N,) u8-valued
+    array in ``value_rows``.
 
-    Returns (sums (num_groups, len(weight_rows)), zmin (num_groups,)).
+    Returns (sums (num_groups, len(weight_rows)), zmin (num_groups,))
+    [, hists (len(value_rows), N_BINS, num_groups)].
     """
     n = sorted_keys_1d.shape[0]
     n_pad = ((n + CHUNK - 1) // CHUNK + 2) * CHUNK
@@ -164,13 +215,20 @@ def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
     keys = jnp.pad(sorted_keys_1d.astype(jnp.int32), (0, pad),
                    constant_values=num_groups)[None, :]
     rows = list(weight_rows)
-    assert len(rows) <= W_PAD - 1
-    stacked = jnp.stack([r.astype(jnp.float32) for r in rows]
-                        + [z_sorted.astype(jnp.float32)])
+    vals = list(value_rows)
+    assert len(rows) + len(vals) <= W_PAD - 1
     wt = jnp.zeros((W_PAD, n_pad), jnp.float32)
-    wt = wt.at[:len(rows), :n].set(stacked[:-1])
-    wt = wt.at[W_PAD - 1, :n].set(stacked[-1])
+    for i, r in enumerate(rows):
+        wt = wt.at[i, :n].set(r.astype(jnp.float32))
+    hist_rows = tuple(range(len(rows), len(rows) + len(vals)))
+    for i, v in zip(hist_rows, vals):
+        wt = wt.at[i, :n].set(v.astype(jnp.float32))
+    wt = wt.at[W_PAD - 1, :n].set(z_sorted.astype(jnp.float32))
     ws, wl = window_boundaries(keys[0, :n], num_groups)
-    sums, zmin = window_stats(keys, wt, ws, wl, num_groups,
-                              interpret=interpret)
-    return sums[:, :len(rows)], zmin
+    out = window_stats(keys, wt, ws, wl, num_groups, interpret=interpret,
+                       hist_rows=hist_rows)
+    if not vals:
+        sums, zmin = out
+        return sums[:, :len(rows)], zmin
+    sums, zmin, hists = out
+    return sums[:, :len(rows)], zmin, hists

@@ -55,9 +55,39 @@ def _median_from_sorted(packed_sorted, starts, lens, fill_value, base=256):
     return jnp.where(lens > 0, med, jnp.float32(fill_value))
 
 
+def _medians_from_hists(hists, lens2, n_cells, nsplit, rgb_fill):
+    """np.median per group from per-group u8 value histograms.
+
+    hists: (3, N_BINS, n_cells*nsplit) counts from the Pallas kernel;
+    lens2: (n_cells, nsplit) group sizes. Median of an integer multiset =
+    mean of order stats (n-1)//2 and n//2 — read from the cumulative
+    histogram with two argmax scans (exactly _median_from_sorted).
+    Returns {split: [(n_cells,) f32 x3]} including 'full' (histograms sum
+    across splits; the sort formulation needs 3 extra full-keyed sorts).
+    """
+    out = {}
+    h = hists.reshape(3, -1, n_cells, nsplit)
+    variants = [('present', h[..., 0], lens2[:, 0])]
+    if nsplit == 2:
+        variants += [('future', h[..., 1], lens2[:, 1]),
+                     ('full', h.sum(-1), lens2.sum(-1))]
+    for name, hh, ln in variants:
+        li = ln.astype(jnp.int32)
+        meds = []
+        for ch in range(3):
+            c = jnp.cumsum(hh[ch], axis=0)                 # (BINS, cells)
+            v1 = jnp.argmax(c > ((li - 1) // 2)[None, :], axis=0)
+            v2 = jnp.argmax(c > (li // 2)[None, :], axis=0)
+            med = 0.5 * (v1 + v2).astype(jnp.float32)
+            meds.append(jnp.where(li > 0, med, jnp.float32(rgb_fill)))
+        out[name] = meds
+    return out
+
+
 def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
                        sem_idxs, pixel_size, gen_future, rgb_fill=0,
-                       use_pallas=False, pallas_interpret=False):
+                       use_pallas=False, pallas_interpret=False,
+                       hist_medians=False):
     """All channel families for all time splits via the sort formulation.
 
     Args:
@@ -88,24 +118,34 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
     int_road = intensity.astype(jnp.float32) * road_f
 
     pallas_ok = use_pallas and sent % 512 == 0
+    hist_ok = hist_medians and pallas_ok
     # Pallas path: z is a payload only (the kernel's per-group min is
     # order-independent), so a 1-key sort suffices — a 2-key comparator
     # costs ~2x on the main sort (measured on v5e). The XLA fallback reads
     # the min as the segment-start element, which NEEDS z as a secondary
-    # key.
-    sorted_ops = jax.lax.sort(
-        (c2, z.astype(jnp.float32), int_road, road_f, dyn_f),
-        num_keys=1 if pallas_ok else 2)
-    s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
+    # key. With hist_medians, the clipped u8 rgb values ride the same sort
+    # as 3 extra payloads and the kernel histograms them — replacing the
+    # six median sorts below.
+    main_ops = [c2, z.astype(jnp.float32), int_road, road_f, dyn_f]
+    if hist_ok:
+        main_ops += [jnp.clip(rgb[:, ch], 0., 255.) for ch in range(3)]
+    sorted_ops = jax.lax.sort(tuple(main_ops),
+                              num_keys=1 if pallas_ok else 2)
+    s_c2, s_z, s_int, s_road, s_dyn = sorted_ops[:5]
 
+    hists = None
     if pallas_ok:
         # One bandwidth-bound Pallas pass for every sum + the z-min
         # (ops/pallas_stats.py) instead of cumsums + a per-group
         # searchsorted; the median boundary table comes from the counts.
         from pc_accumulation_lib_tpu.ops import pallas_stats
-        sums, zmin = pallas_stats.segmented_stats(
+        st = pallas_stats.segmented_stats(
             s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z, sent,
-            interpret=pallas_interpret)
+            interpret=pallas_interpret,
+            value_rows=list(sorted_ops[5:]) if hist_ok else ())
+        sums, zmin = st[0], st[1]
+        if hist_ok:
+            hists = st[2]
         lens = sums[:, 0]
         road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
         ends = jnp.cumsum(lens.astype(jnp.int32))
@@ -145,6 +185,15 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
                        (zmin_s, jnp.minimum)):
             d['full'] = red(d['present'], d['future'])
 
+    if hists is not None:
+        lens2 = lens.reshape(n_cells, nsplit)
+        med = _medians_from_hists(hists, lens2, n_cells, nsplit, rgb_fill)
+        out = {}
+        for s in lens_s:
+            _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
+                        zmin_s[s], med[s], P)
+        return out
+
     # Colour medians: packed single-key sorts; boundary table reused.
     med = {s: [] for s in lens_s}
     starts2 = starts.reshape(n_cells, nsplit)
@@ -170,19 +219,20 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
 
     out = {}
     for s in lens_s:
-        cnt = lens_s[s]
-        road = (road_s[s] + 1.0) / (cnt + 2.0)
-        inten = int_ss[s] / (road_s[s] + 1.0)
-        dyn = (dyn_s[s] + 1.0) / (cnt + 2.0)
-        elev = jnp.where(cnt > 0, zmin_s[s], 0.0)
-        rgbm = jnp.stack([m.reshape(P, P) for m in med[s]]) / 255.0
-        out[f'road_{s}'] = road.reshape(P, P)
-        out[f'intensity_{s}'] = inten.reshape(P, P)
-        out[f'rgb_{s}'] = rgbm
-        out[f'dynamic_{s}'] = dyn.reshape(P, P)
-        out[f'elevation_{s}'] = elev.reshape(P, P)
-        # Per-cell point counts: every other channel holds a known constant
-        # where count==0, which is what the sparse fetch packing keys on
-        # (bev/core.py pack='sparse').
-        out[f'count_{s}'] = cnt.reshape(P, P)
+        _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
+                    zmin_s[s], med[s], P)
     return out
+
+
+def _emit_split(out, s, cnt, road_c, int_s, dyn_c, zmin, meds, P):
+    """Finalize one split's channel maps (Dirichlet probmaps, road-mean
+    intensity, min-z elevation, median rgb, raw counts)."""
+    out[f'road_{s}'] = ((road_c + 1.0) / (cnt + 2.0)).reshape(P, P)
+    out[f'intensity_{s}'] = (int_s / (road_c + 1.0)).reshape(P, P)
+    out[f'rgb_{s}'] = jnp.stack([m.reshape(P, P) for m in meds]) / 255.0
+    out[f'dynamic_{s}'] = ((dyn_c + 1.0) / (cnt + 2.0)).reshape(P, P)
+    out[f'elevation_{s}'] = jnp.where(cnt > 0, zmin, 0.0).reshape(P, P)
+    # Per-cell point counts: every other channel holds a known constant
+    # where count==0, which is what the sparse fetch packing keys on
+    # (bev/core.py pack='sparse').
+    out[f'count_{s}'] = cnt.reshape(P, P)

@@ -71,3 +71,38 @@ def test_sort_raster_pallas_matches_xla(rng):
     for k in a:
         np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
                                    atol=2e-4, err_msg=k)
+
+
+def test_hist_medians_match_sort_medians(rng):
+    """hist_medians=True (in-kernel MXU value histograms) must reproduce
+    the median sorts' rgb maps EXACTLY — integer order statistics both
+    ways — and every other channel unchanged."""
+    from pc_accumulation_lib_tpu.ops import sort_raster
+    P = 32
+    n = 4000
+    cells = jnp.asarray(rng.integers(0, P * P, size=n), jnp.int32)
+    static_m = jnp.asarray(rng.uniform(size=n) > 0.2)
+    is_fut = jnp.asarray(rng.uniform(size=n) > 0.7)
+    z = jnp.asarray(rng.normal(size=n), jnp.float32)
+    inten = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    rgb = jnp.asarray(rng.integers(0, 256, size=(n, 3)), jnp.float32)
+    sem = jnp.asarray(rng.choice([0, 1, 13], size=n), jnp.float32)
+    sem_idxs = {'road': 0, 'car': 13, 'truck': 14, 'bus': 15,
+                'motorcycle': 17}
+    for gen_future in (True, False):
+        kw = dict(sem_idxs=sem_idxs, pixel_size=P, gen_future=gen_future,
+                  rgb_fill=7)
+        a = sort_raster.sorted_split_stats(
+            cells, static_m, is_fut, z, inten, rgb, sem, use_pallas=True,
+            pallas_interpret=True, **kw)
+        b = sort_raster.sorted_split_stats(
+            cells, static_m, is_fut, z, inten, rgb, sem, use_pallas=True,
+            pallas_interpret=True, hist_medians=True, **kw)
+        for k in a:
+            if k.startswith('rgb'):
+                np.testing.assert_array_equal(np.asarray(b[k]),
+                                              np.asarray(a[k]), err_msg=k)
+            else:
+                np.testing.assert_allclose(np.asarray(b[k]),
+                                           np.asarray(a[k]), atol=2e-4,
+                                           err_msg=k)
