@@ -159,12 +159,14 @@ def main():
                       max_trans_radius=3.0, zoom_thresh=0.05, do_warp=True,
                       int_scaler=20., int_sep_scaler=20.,
                       int_mid_threshold=0.5, height_filter=None,
-                      # Pre-warp corridor occupancy peaks ~15.2k cells/
-                      # split at the 40 m window (bench prints the observed
-                      # max); an undersized cap silently falls back to
-                      # quantized-dense fetches (1.57 MB vs 0.42 MB/sample)
-                      # — a predictable 16384 beats stochastic fallbacks.
-                      fetch_dtype='sparse', sparse_cap=16384)
+                      # Pre-warp occupancy peaks per split: present ~15.5k,
+                      # future ~8.5k, full ~15.5k (bench prints observed
+                      # maxima); an undersized cap silently falls back to
+                      # quantized-dense fetches (1.57 MB vs ~0.36 MB/sample)
+                      # — predictable per-split caps beat stochastic
+                      # fallbacks.
+                      fetch_dtype='sparse',
+                      sparse_cap=(16384, 9216, 16384))
     bevs_per_sample = 16
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(
@@ -221,8 +223,8 @@ def main():
     print(f'total {dt:.3f}s for {n_samples} samples', file=sys.stderr)
     gen = accum.sem_bev_generator
     print(f'sparse fetch: max {gen.max_occupied} occupied cells '
-          f'(cap {gen.sparse_cap}), {gen.sparse_overflows} dense fallbacks',
-          file=sys.stderr)
+          f'(per split {gen.max_occupied_split}, cap {gen.sparse_cap}), '
+          f'{gen.sparse_overflows} dense fallbacks', file=sys.stderr)
     result = {
         'metric': 'e2e_bev_samples_per_sec_per_chip',
         'value': round(samples_per_sec, 3),

@@ -111,12 +111,22 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
 
     ``pack``: None -> the fn returns a (C,P,P) float16 channel stack
     (unpack host-side with unpack_maps). 'sparse' (sort backend only) ->
-    the fn returns (sparse_u8, dense_f16): sparse_u8 is a flat uint8
-    buffer of [per-split occupancy bitmask | first sparse_cap occupied
-    cells' channel values (u8 x6 + f16 elevation) | per-split n_occ] —
-    every un-occupied cell holds a known constant, so only occupied cells
-    cross the host link (decode_sparse_stack). The dense stack is returned
-    as the capacity-overflow fallback and is only fetched in that case.
+    the fn returns (sparse_u8, dense_q): sparse_u8 is a flat uint8
+    buffer of [per-split occupancy bitmask | per-split occupied cells'
+    channel values (u8 x6 + f16 elevation, up to that split's cap) |
+    per-split n_occ] — every un-occupied cell holds a known constant, so
+    only occupied cells cross the host link (decode_sparse_stack). Sparse
+    outputs are PRE-warp (the caller applies ops/warp.warp_dense_maps_np
+    after decode). dense_q is the u8-quantized capacity-overflow fallback,
+    only fetched on overflow.
+
+    ``sparse_cap``: int or (present, future, full) per-split capacities.
+
+    ``hist_medians``: on the Pallas path, compute the rgb medians from
+    in-kernel per-group value histograms (MXU one-hot matmuls; exactly
+    np.median, bit-identical to the sort formulation — gated on-chip by
+    bench.py --selftest) instead of six median sorts (~60% of raster
+    time). Ignored off the Pallas path.
     """
     P = pixel_size
     sem_idxs = dict(sem_idxs)
@@ -232,17 +242,31 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
         if pack != 'sparse':
             return dense
         counts = maps[len(meta) * n_ch:]
+        caps = resolve_sparse_caps(sparse_cap)[:len(meta)]
         # The dense overflow fallback ships u8-quantized (7x fewer bytes),
         # fused here so callers don't pay a separate quantize dispatch.
-        return (_pack_sparse(dense, counts, P, sparse_cap, len(meta)),
+        return (_pack_sparse(dense, counts, P, caps, len(meta)),
                 quantize_stack_batch(dense[None])[0])
 
     return jax.jit(raster, static_argnames=('gen_future',))
 
 
-def _pack_sparse(dense, counts, P, cap, S):
+def resolve_sparse_caps(cap):
+    """int-or-tuple sparse cap -> (present, future, full) 3-tuple; slice
+    [:n_splits] for the active split count. Per-split caps matter: the
+    'future' split covers far fewer frames than present/full, so its
+    occupancy (and transfer share) is much smaller."""
+    if isinstance(cap, (tuple, list)):
+        if len(cap) != 3:
+            raise ValueError(f'need (present, future, full) caps, got {cap}')
+        return tuple(int(c) for c in cap)
+    return (int(cap),) * 3
+
+
+def _pack_sparse(dense, counts, P, caps, S):
     """Device-side sparse packing: (S*7,P,P) f16 dense + (S,P,P) counts ->
-    flat uint8 [masks (S,P*P/8) | values (S,cap,8) | n_occ (S,) i32 bytes].
+    flat uint8 [masks (S,P*P/8) | per-split values (caps[s],8) | n_occ
+    (S,) i32 bytes].
 
     Occupied cells are taken in ascending cell order; each contributes six
     u8-quantized [0,1] channels plus the float16 elevation bitcast to two
@@ -253,22 +277,20 @@ def _pack_sparse(dense, counts, P, cap, S):
     for s in range(S):
         occ = counts[s].reshape(-1) > 0
         key = jnp.where(occ, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
-        idx = jnp.argsort(key)[:cap]
+        idx = jnp.argsort(key)[:caps[s]]
         ch = dense[s * 7:(s + 1) * 7].reshape(7, n_cells)
         g = ch[:, idx]
         u8 = jnp.round(jnp.clip(g[:6].astype(jnp.float32), 0., 1.)
                        * 255.).astype(jnp.uint8)
         eb = jax.lax.bitcast_convert_type(g[6].astype(jnp.float16),
-                                          jnp.uint8)          # (cap, 2)
-        vals.append(jnp.concatenate([u8.T, eb], axis=1))      # (cap, 8)
+                                          jnp.uint8)          # (cap_s, 2)
+        vals.append(jnp.concatenate([u8.T, eb], axis=1).reshape(-1))
         masks.append((occ.reshape(-1, 8).astype(jnp.uint8)
                       * bit_w).sum(axis=1).astype(jnp.uint8))
         noccs.append(occ.sum().astype(jnp.int32))
     nb = jax.lax.bitcast_convert_type(jnp.stack(noccs),
                                       jnp.uint8).reshape(-1)
-    return jnp.concatenate(
-        [jnp.concatenate(masks),
-         jnp.stack(vals).reshape(-1), nb])
+    return jnp.concatenate([jnp.concatenate(masks)] + vals + [nb])
 
 
 class SparseOverflow(Exception):
@@ -290,23 +312,28 @@ def sparse_empty_values(int_scaler, int_sep_scaler, int_mid_threshold,
 
 def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
     """Host-side inverse of _pack_sparse for ONE sample: flat uint8 ->
-    (S*7, P, P) float16 stack (unpack_maps layout). Raises SparseOverflow
-    when a split exceeded ``cap`` occupied cells."""
+    (S*7, P, P) float16 stack (unpack_maps layout). ``cap`` int or
+    per-split tuple. Raises SparseOverflow when a split exceeded its cap
+    of occupied cells."""
     S = 3 if gen_future else 1
     P = pixel_size
+    caps = resolve_sparse_caps(cap)[:S]
     n_mask = P * P // 8
     masks = raw[:S * n_mask].reshape(S, n_mask)
-    vals = raw[S * n_mask:S * n_mask + S * cap * 8].reshape(S, cap, 8)
-    n_occ = np.ascontiguousarray(raw[S * n_mask + S * cap * 8:]).view(
-        np.int32)
+    val_sections = []
+    off = S * n_mask
+    for s in range(S):
+        val_sections.append(raw[off:off + caps[s] * 8].reshape(caps[s], 8))
+        off += caps[s] * 8
+    n_occ = np.ascontiguousarray(raw[off:]).view(np.int32)
     stack = np.empty((S * 7, P, P), np.float16)
     for s in range(S):
         n = int(n_occ[s])
-        if n > cap:
+        if n > caps[s]:
             raise SparseOverflow(
-                f'split {s}: {n} occupied cells > sparse cap {cap}')
+                f'split {s}: {n} occupied cells > sparse cap {caps[s]}')
         occ = np.unpackbits(masks[s]).astype(bool)
-        v = vals[s, :n]
+        v = val_sections[s][:n]
         for c in range(6):
             flat = np.full(P * P, empty_vals[c], np.float16)
             flat[occ] = _DEQUANT_LUT[v[:, c]]

@@ -94,13 +94,19 @@ class SemBEVGenerator:
         self.dyn_idx = cfg.PT_DYN   # column of dynamic flag (parity attr)
         self.fetch_dtype = fetch_dtype
         self._rng = np.random.default_rng(seed)
+        # int or (present, future, full) per-split tuple.
         self.sparse_cap = (core.default_sparse_cap(self.pixel_size)
-                           if sparse_cap is None else int(sparse_cap))
+                           if sparse_cap is None else
+                           core.resolve_sparse_caps(sparse_cap)
+                           if isinstance(sparse_cap, (tuple, list))
+                           else int(sparse_cap))
         # Sparse-fetch telemetry: undersizing sparse_cap silently falls
         # back to dense fetches (correct but ~7x the bytes) — callers size
-        # the cap from max_occupied (bench.py prints both).
+        # the cap from max_occupied (bench.py prints both; per-split
+        # detail in max_occupied_split).
         self.sparse_overflows = 0
         self.max_occupied = 0
+        self.max_occupied_split = [0, 0, 0]
         self._sparse_empty = core.sparse_empty_values(
             int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
         if mesh is not None:
@@ -274,12 +280,21 @@ class SemBEVGenerator:
 
         def finalize() -> List[Dict]:
             trajs = trajs_fn()
-            return [
-                self._assemble(self._fetch_stack(o, gen_future, w), trajs,
-                               rot_ang, dx, dy, zoom * self.view_size, w,
-                               gen_future)
-                for o, (rot_ang, dx, dy, zoom, w) in zip(outs, draws)
-            ]
+            # The tunnel serializes the per-sample transfers; decode +
+            # host-warp + assemble of sample k (~5 ms numpy, GIL mostly
+            # released) runs on a side thread UNDER sample k+1's transfer
+            # wait instead of extending the critical path.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def work(o, draw):
+                rot_ang, dx, dy, zoom, w = draw
+                return self._assemble(
+                    self._fetch_stack(o, gen_future, w), trajs, rot_ang,
+                    dx, dy, zoom * self.view_size, w, gen_future)
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [ex.submit(work, o, d) for o, d in zip(outs, draws)]
+                return [f.result() for f in futs]
 
         return finalize
 
@@ -301,9 +316,11 @@ class SemBEVGenerator:
             sparse, dense = out
             raw = np.asarray(sparse)
             S = 3 if gen_future else 1
-            n_occ = int(np.ascontiguousarray(raw[-4 * S:]).view(
-                np.int32).max())
-            self.max_occupied = max(self.max_occupied, n_occ)
+            n_occs = np.ascontiguousarray(raw[-4 * S:]).view(np.int32)
+            self.max_occupied = max(self.max_occupied, int(n_occs.max()))
+            for i in range(S):
+                self.max_occupied_split[i] = max(
+                    self.max_occupied_split[i], int(n_occs[i]))
             try:
                 stack = core.decode_sparse_stack(
                     raw, gen_future, self.pixel_size, self.sparse_cap,
