@@ -121,6 +121,62 @@ def selftest():
     if not ok:
         raise SystemExit(f'Pallas/XLA raster mismatch: max err {err}')
 
+    # Part 2: the zero-host-sync step() pipeline (device-side eviction
+    # window + pose params) vs the classic integrate()+generate_bev()
+    # path, ON CHIP at tiny shapes — catches TPU-specific miscompiles of
+    # the fused integrate that the CPU equivalence tests can't see.
+    from pc_accumulation_lib_tpu.accum.kitti360 import (
+        Kitti360SemanticPointCloudAccumulator)
+    from pc_accumulation_lib_tpu.dataloaders.synthetic import (
+        SyntheticKitti360Stream, make_calib)
+
+    def make_accum(seed):
+        H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+        calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                     p_velo_frame=P_cam_frame @ H_velo_cam)
+        return Kitti360SemanticPointCloudAccumulator(
+            12.0, calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
+            cfg.DEFAULT_SEM_IDXS, True,
+            dict(type='sem', view_size=40, pixel_size=64,
+                 max_trans_radius=2.0, zoom_thresh=0.05, do_warp=True,
+                 int_scaler=20., int_sep_scaler=20., int_mid_threshold=0.5),
+            accum_cfg=cfg.AccumConfig(max_points_per_frame=8192,
+                                      max_frames=10,
+                                      max_painted_points_per_frame=8192),
+            icp_cfg=cfg.ICPConfig(max_downsampled=512, num_iters=8),
+            seed=seed)
+
+    stream = SyntheticKitti360Stream(n_frames=8, step=2.0, lidar_range=25.0,
+                                     seed=3, points_per_frame=3000)
+    frames = [stream.frame(i) for i in range(8)]
+    a_cls, a_new = make_accum(7), make_accum(7)
+    a_cls.integrate([frames[0]])
+    a_new.integrate([frames[0]])
+    worst = 0.0
+    for i in range(1, 8):
+        a_cls.integrate([frames[i]])
+        bc = a_cls.generate_bev(present_idx=len(a_cls.poses) - 2, bev_num=1,
+                                gen_future=True)[0]
+        bn = a_new.step([frames[i]], bev_num=1, gen_future=True)[0]
+        assert a_cls.window_start == a_new.window_start, 'eviction diverged'
+        for k in bc:
+            if k.startswith('trajs'):
+                continue
+            d = np.abs(np.asarray(bc[k], np.float32)
+                       - np.asarray(bn[k], np.float32))
+            # Device rigid inverse vs host f64 inv can flip points on
+            # exact cell boundaries: compare by mismatch fraction.
+            worst = max(worst, float(np.mean(d > 2e-2)))
+    ok2 = worst < 0.02
+    print(json.dumps({
+        'metric': 'step_pipeline_parity',
+        'value': worst,
+        'unit': f'max_cell_mismatch_fraction[{backend}]',
+        'vs_baseline': 1.0 if ok2 else 0.0,
+    }))
+    if not ok2:
+        raise SystemExit(f'step() vs classic path mismatch: {worst}')
+
 
 def main():
     import jax

@@ -21,6 +21,47 @@ from pc_accumulation_lib_tpu.accum.base import SemanticPointCloudAccumulator
 from pc_accumulation_lib_tpu.ops import icp as icp_ops
 
 
+def window_update(seg_ring, ws, T_world, T_world_prev, frame_id, horizon,
+                  first):
+    """Device mirror of base.remove_observations (sem_pc_accum.py:185-209):
+    append this frame's path segment into the ring (slot = global frame id
+    mod ring size), then advance the window start past the memory horizon.
+    Exact same argmax-over-cumsum formulation as the host code; equivalence
+    on random walks is pinned by tests/test_step_pipeline.py.
+
+    Returns (seg_ring, new window_start, pre-eviction path length)."""
+    R = seg_ring.shape[0]
+    if first:
+        return seg_ring, ws, jnp.float32(0)
+    seg = jnp.linalg.norm(T_world[:3, 3] - T_world_prev[:3, 3])
+    seg_ring = seg_ring.at[frame_id % R].set(seg)
+    # Window segments in global-id order ws+1 .. frame_id.
+    gids = ws + 1 + jnp.arange(R)
+    segs = jnp.where(gids <= frame_id, seg_ring[gids % R], 0.0)
+    path = jnp.sum(segs)
+    overshoot = path - horizon
+    cond = (jnp.cumsum(segs) - overshoot > 0.) & (gids <= frame_id)
+    idx = jnp.where(path > horizon, jnp.argmax(cond).astype(jnp.int32), 0)
+    return seg_ring, ws + idx, path
+
+
+def pose_params_vec(T_world, T_world_prev, ws, frame_id):
+    """(22,) pose-dependent half of bev/core.RasterParams.pack() for the
+    'latest-1' present policy (present_idx = len-2): [T_ref_world(16),
+    bev_coords(3), window_min, window_max, present_frame]. Rigid inverse
+    keeps it f32-exact."""
+    R, t = T_world[:3, :3], T_world[:3, 3]
+    T_ref = jnp.zeros((4, 4), jnp.float32)
+    T_ref = T_ref.at[:3, :3].set(R.T)
+    T_ref = T_ref.at[:3, 3].set(-R.T @ t)
+    T_ref = T_ref.at[3, 3].set(1.0)
+    bev_coords = R.T @ (T_world_prev[:3, 3] - t)
+    f = frame_id.astype(jnp.float32)
+    return jnp.concatenate([
+        T_ref.reshape(-1), bev_coords,
+        jnp.stack([ws.astype(jnp.float32), f, f - 1.0])])
+
+
 class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
 
     bev_ref_frame = 'latest'
@@ -95,43 +136,6 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         max_corr = jnp.float32(self.icp_cfg.max_corr_dist)
         horizon = jnp.float32(self.horizon_dist)
 
-        def window_update(seg_ring, ws, T_world, T_world_prev, frame_id,
-                          first):
-            """Device mirror of base.remove_observations
-            (sem_pc_accum.py:185-209): append this frame's path segment,
-            then advance the window past the memory horizon. Exact same
-            argmax-over-cumsum formulation as the host code."""
-            R = seg_ring.shape[0]
-            if first:
-                return seg_ring, ws, jnp.float32(0)
-            seg = jnp.linalg.norm(T_world[:3, 3] - T_world_prev[:3, 3])
-            seg_ring = seg_ring.at[frame_id % R].set(seg)
-            # Window segments in global-id order ws+1 .. frame_id.
-            gids = ws + 1 + jnp.arange(R)
-            segs = jnp.where(gids <= frame_id, seg_ring[gids % R], 0.0)
-            path = jnp.sum(segs)
-            overshoot = path - horizon
-            cond = (jnp.cumsum(segs) - overshoot > 0.) & (gids <= frame_id)
-            idx = jnp.where(path > horizon,
-                            jnp.argmax(cond).astype(jnp.int32), 0)
-            return seg_ring, ws + idx, path
-
-        def pose_params_vec(T_world, T_world_prev, ws, frame_id):
-            """(22,) pose-dependent half of bev/core.RasterParams.pack()
-            for the 'latest-1' present policy (present_idx = len-2):
-            [T_ref_world(16), bev_coords(3), window_min, window_max,
-            present_frame]. Rigid inverse keeps it f32-exact."""
-            R, t = T_world[:3, :3], T_world[:3, 3]
-            T_ref = jnp.zeros((4, 4), jnp.float32)
-            T_ref = T_ref.at[:3, :3].set(R.T)
-            T_ref = T_ref.at[:3, 3].set(-R.T @ t)
-            T_ref = T_ref.at[3, 3].set(1.0)
-            bev_coords = R.T @ (T_world_prev[:3, 3] - t)
-            f = frame_id.astype(jnp.float32)
-            return jnp.concatenate([
-                T_ref.reshape(-1), bev_coords,
-                jnp.stack([ws.astype(jnp.float32), f, f - 1.0])])
-
         def dequant(pc_pad):
             if pc_pad.dtype == jnp.int16:   # quantized transfer (5 mm)
                 return pc_pad.astype(jnp.float32) * (1.0 / 200.0)
@@ -158,7 +162,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             state = buffer.insert_frame(state, painted, valid_out, frame_id)
             seg_ring, ws_new, path = window_update(seg_ring, ws, T_world,
                                                    T_world_prev, frame_id,
-                                                   first)
+                                                   horizon, first)
             pose_vec = pose_params_vec(T_world, T_world_prev, ws_new,
                                        frame_id)
             packed = jnp.concatenate([

@@ -103,6 +103,56 @@ def test_trajs_match(both_paths):
                     np.testing.assert_allclose(tc, tn, atol=1.0)
 
 
+def test_window_update_matches_host_eviction_random_walks():
+    """Property check: the device eviction (accum/kitti360.window_update)
+    tracks base.remove_observations exactly over random walks with
+    eviction bursts, ring wraparound, and horizon-edge path lengths."""
+    import jax.numpy as jnp
+
+    from pc_accumulation_lib_tpu.accum import kitti360 as k3
+    from pc_accumulation_lib_tpu.accum.base import (
+        SemanticPointCloudAccumulator as Base)
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        R = 12
+        horizon = float(rng.uniform(5.0, 15.0))
+        n_frames = 40
+        steps = rng.uniform(0.0, 2.5, size=(n_frames, 3))
+        steps[:, 2] *= 0.1
+        poses = np.cumsum(steps, axis=0)
+
+        # Host reference: a bare accumulator bookkeeping mirror.
+        host = Base.__new__(Base)
+        host.horizon_dist = horizon
+        host.poses, host.seg_dists = [list(poses[0])], []
+        host.T_world_velo = [np.eye(4)]
+        host.rgbs, host.semsegs = [None], [None]
+        host.window_start = 0
+
+        seg_ring = jnp.zeros((R,), jnp.float32)
+        ws = jnp.int32(0)
+        T_prev = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(
+            jnp.asarray(poses[0], jnp.float32))
+        for fid in range(1, n_frames):
+            T_cur = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(
+                jnp.asarray(poses[fid], jnp.float32))
+            seg_ring, ws, path = k3.window_update(
+                seg_ring, ws, T_cur, T_prev, jnp.int32(fid),
+                jnp.float32(horizon), False)
+            T_prev = T_cur
+
+            host.poses.append(list(poses[fid]))
+            host.T_world_velo.append(np.eye(4))
+            host.rgbs.append(None)
+            host.semsegs.append(None)
+            _, host_path = host.remove_observations()
+            assert int(ws) == host.window_start, (trial, fid)
+            np.testing.assert_allclose(float(path), host_path, rtol=1e-5)
+            # The live window must fit the ring (bench sizing invariant).
+            assert fid - int(ws) + 1 <= R, (trial, fid)
+
+
 def test_step_async_fetch_matches_sync():
     frames = _frames()
     a1, a2 = _make_accum(seed=5), _make_accum(seed=5)
