@@ -29,6 +29,14 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+try:
+    from jax.lax import pcast as _pcast  # jax >= 0.8
+
+    def _pvary(x, axes):
+        return _pcast(x, axes, to='varying')
+except ImportError:  # pragma: no cover
+    from jax.lax import pvary as _pvary
+
 
 def stack_stage_params(per_stage_params):
     """Stack a list of S structurally-identical stage pytrees into one
@@ -80,13 +88,13 @@ def gpipe_apply(stage_fn: Callable, mesh: Mesh, axis: str = 'pp'):
             rank = jax.lax.axis_index(axis)
             # pvary: the scan carry crosses a ppermute, so it must enter
             # the loop already marked device-varying over the pp axis.
-            act0 = jax.lax.pvary(jnp.zeros_like(xs_rep[0]), (axis,))
+            act0 = _pvary(jnp.zeros_like(xs_rep[0]), (axis,))
 
             def tick(act, t):
                 # Stage 0 picks up microbatch t (clamped; masked later).
                 inp = jax.lax.dynamic_index_in_dim(
                     xs_rep, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
-                cur = jnp.where(rank == 0, jax.lax.pvary(inp, (axis,)), act)
+                cur = jnp.where(rank == 0, _pvary(inp, (axis,)), act)
                 y = stage_fn(my_params, cur)
                 # Drain BEFORE the ring hop: stage S-1's tick-t output is
                 # microbatch t-(S-1).
