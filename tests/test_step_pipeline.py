@@ -103,6 +103,37 @@ def test_trajs_match(both_paths):
                     np.testing.assert_allclose(tc, tn, atol=1.0)
 
 
+def test_grouped_fetch_matches_ungrouped():
+    """generate_samples_device with multi-group stacked fetches must equal
+    per-sample fetches (fetch_group=1) for the same RNG stream."""
+    frames = _frames()
+    a1, a2 = _make_accum(seed=9), _make_accum(seed=9)
+    for a in (a1, a2):
+        a.integrate([frames[0]])
+        a.integrate([frames[1]])
+
+    def run(a, fetch_group):
+        import jax.numpy as jnp
+        gen = a.sem_bev_generator
+        f, n, d = a.state.points.shape
+        return gen.generate_samples_device(
+            a.state.points.reshape(f * n, d), a.state.valid.reshape(f * n),
+            jnp.repeat(a.state.frame_ids, n),
+            a.state.inst_dyn, a._pose_vec_dev, 5, True,
+            lambda: {'ego_traj_present': np.zeros((1, 3))},
+            fetch_group=fetch_group)()
+
+    b1 = run(a1, 2)   # groups of 2, 2, 1
+    b2 = run(a2, 1)   # per-sample path
+    assert len(b1) == len(b2) == 5
+    for x, y in zip(b1, b2):
+        for k in x:
+            if k.startswith('trajs'):
+                continue
+            np.testing.assert_array_equal(np.asarray(x[k]),
+                                          np.asarray(y[k]), err_msg=k)
+
+
 def test_window_update_matches_host_eviction_random_walks():
     """Property check: the device eviction (accum/kitti360.window_update)
     tracks base.remove_observations exactly over random walks with
