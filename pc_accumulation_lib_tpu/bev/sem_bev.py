@@ -244,7 +244,7 @@ class SemBEVGenerator:
 
     def generate_samples_device(self, points, valid, pt_frame_ids, inst_dyn,
                                 pose_vec, n_samples: int, gen_future: bool,
-                                trajs_fn, fetch_group: int = 8):
+                                trajs_fn, fetch_group: int = 4):
         """Like generate_samples, but the pose-dependent half of the raster
         params (T_ref_world, bev_coords, window — RasterParams fields 0..21)
         arrives as a DEVICE vector ``pose_vec`` threaded from the
