@@ -48,14 +48,21 @@ def window_update(seg_ring, ws, T_world, T_world_prev, frame_id, horizon,
 def pose_params_vec(T_world, T_world_prev, ws, frame_id):
     """(22,) pose-dependent half of bev/core.RasterParams.pack() for the
     'latest-1' present policy (present_idx = len-2): [T_ref_world(16),
-    bev_coords(3), window_min, window_max, present_frame]. Rigid inverse
-    keeps it f32-exact."""
+    bev_coords(3), window_min, window_max, present_frame].
+
+    Rigid inverse (R^T, -R^T t) instead of a general 4x4 inverse, at
+    precision=HIGHEST: the TPU's default matmul precision truncates to
+    ~bf16, which at |t| ~ 100 m of travelled world translation would
+    shift the BEV reference by ~0.4 m (> 1 pixel at 80 m / 256 px) away
+    from the host-f64 trajectory overlays (CLAUDE.md precision gotcha)."""
     R, t = T_world[:3, :3], T_world[:3, 3]
+    hp = jax.lax.Precision.HIGHEST
+    Rt_t = jnp.matmul(R.T, t, precision=hp)
     T_ref = jnp.zeros((4, 4), jnp.float32)
     T_ref = T_ref.at[:3, :3].set(R.T)
-    T_ref = T_ref.at[:3, 3].set(-R.T @ t)
+    T_ref = T_ref.at[:3, 3].set(-Rt_t)
     T_ref = T_ref.at[3, 3].set(1.0)
-    bev_coords = R.T @ (T_world_prev[:3, 3] - t)
+    bev_coords = jnp.matmul(R.T, T_world_prev[:3, 3] - t, precision=hp)
     f = frame_id.astype(jnp.float32)
     return jnp.concatenate([
         T_ref.reshape(-1), bev_coords,

@@ -93,6 +93,7 @@ class SemBEVGenerator:
         self.sem_idx = cfg.PT_SEM   # column of semantic info (parity attr)
         self.dyn_idx = cfg.PT_DYN   # column of dynamic flag (parity attr)
         self.fetch_dtype = fetch_dtype
+        self._mesh = mesh
         self._rng = np.random.default_rng(seed)
         # int or (present, future, full) per-split tuple.
         self.sparse_cap = (core.default_sparse_cap(self.pixel_size)
@@ -107,6 +108,10 @@ class SemBEVGenerator:
         self.sparse_overflows = 0
         self.max_occupied = 0
         self.max_occupied_split = [0, 0, 0]
+        # Decodes run on a small thread pool (generate_samples_device);
+        # unlocked read-modify-write would drop counter updates.
+        import threading
+        self._telemetry_lock = threading.Lock()
         self._sparse_empty = core.sparse_empty_values(
             int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
         if mesh is not None:
@@ -254,6 +259,12 @@ class SemBEVGenerator:
         poses, and must return the metric-space traj dict of
         generate_samples. Randomized augmentation only (the heading-aligned
         fallback needs host poses at dispatch time)."""
+        if self._mesh is not None:
+            raise NotImplementedError(
+                'generate_samples_device (accum.step fast path) is '
+                'single-chip only: the mesh-sharded raster takes one '
+                'packed host vector, not the (pose_vec, aug) device '
+                'tuple. Use integrate() + generate_bev() with a mesh.')
         hf = np.inf if self.height_filter is None else self.height_filter
         draws, outs = [], []
         for _ in range(n_samples):
@@ -343,16 +354,19 @@ class SemBEVGenerator:
                 raw = np.asarray(sparse)
             S = 3 if gen_future else 1
             n_occs = np.ascontiguousarray(raw[-4 * S:]).view(np.int32)
-            self.max_occupied = max(self.max_occupied, int(n_occs.max()))
-            for i in range(S):
-                self.max_occupied_split[i] = max(
-                    self.max_occupied_split[i], int(n_occs[i]))
+            with self._telemetry_lock:
+                self.max_occupied = max(self.max_occupied,
+                                        int(n_occs.max()))
+                for i in range(S):
+                    self.max_occupied_split[i] = max(
+                        self.max_occupied_split[i], int(n_occs[i]))
             try:
                 stack = core.decode_sparse_stack(
                     raw, gen_future, self.pixel_size, self.sparse_cap,
                     self._sparse_empty)
             except core.SparseOverflow:
-                self.sparse_overflows += 1
+                with self._telemetry_lock:
+                    self.sparse_overflows += 1
                 stack = core.dequantize_stack_batch(
                     np.asarray(dense)[None], gen_future,
                     self.pixel_size)[0]

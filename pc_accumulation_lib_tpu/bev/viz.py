@@ -65,6 +65,7 @@ def viz_bev(bev, file_path, pixel_size, height_filter=None, rgbs=(),
     num_rows = len(rows) + (1 if num_imgs > 0 else 0)
     plt.figure(figsize=(6 * num_cols, 6 * num_rows))
 
+    ax_rgb_last = None
     for r, (family, kw, cbar) in enumerate(rows):
         for c, s in enumerate(splits):
             plt.subplot(num_rows, num_cols, r * num_cols + c + 1)
@@ -72,6 +73,7 @@ def viz_bev(bev, file_path, pixel_size, height_filter=None, rgbs=(),
                 img = np.transpose(
                     np.asarray(bev[f'rgb_{s}'], np.float32), (1, 2, 0))
                 plt.imshow((img * 255).astype(int))
+                ax_rgb_last = plt.gca()
             else:
                 plt.imshow(np.asarray(bev[f'{family}_{s}'], np.float32),
                            **kw)
@@ -87,11 +89,12 @@ def viz_bev(bev, file_path, pixel_size, height_filter=None, rgbs=(),
             for lane in bev['gt_lanes']:
                 _plot_trajs([lane], H, color='k')
 
-    if 'gt_lanes' in bev and num_cols == 3:
-        # No spare column: draw lanes over the last rgb panel's row in a
-        # dedicated figure-bottom slot instead of colliding (see module
-        # docstring on the reference's overlap).
-        plt.subplot(num_rows, num_cols, (len(rows) - 1) * num_cols + 3)
+    if 'gt_lanes' in bev and num_cols == 3 and ax_rgb_last is not None:
+        # No spare column: overlay the lanes on the last rgb panel by
+        # re-activating its AXES object. (Calling plt.subplot with the
+        # same spec creates a NEW blank axes on matplotlib >= 3.6 —
+        # an opaque patch over the image with an un-inverted y axis.)
+        plt.sca(ax_rgb_last)
         for lane in bev['gt_lanes']:
             _plot_trajs([lane], H, color='k')
 

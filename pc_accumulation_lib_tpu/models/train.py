@@ -101,8 +101,7 @@ def make_train_setup(mesh: Mesh, lr: float = 1e-3, img_hw=(64, 128),
     return state, train_step
 
 
-def make_pipelined_train_setup(mesh, n_microbatches: int = 4,
-                               microbatch: int = 2, hw=(8, 16),
+def make_pipelined_train_setup(mesh, microbatch: int = 2, hw=(8, 16),
                                channels: int = 16, lr: float = 1e-2,
                                seed: int = 0):
     """Pipeline-parallel (GPipe) trainer over the mesh's 'pp' axis.
@@ -114,7 +113,8 @@ def make_pipelined_train_setup(mesh, n_microbatches: int = 4,
     transposes to the reverse ring).
 
     Returns (state, train_step) with
-    train_step(state, xs (M,mb,H,W,C), ys like xs) -> (state, loss).
+    train_step(state, xs (M,mb,H,W,C), ys like xs) -> (state, loss); the
+    microbatch count M is taken from xs.shape[0].
     """
     import flax.linen as nn
 

@@ -111,7 +111,7 @@ def test_pipelined_train_step_runs(mesh):
     steps on random data (the PP analogue of the DP/TP trainer)."""
     from pc_accumulation_lib_tpu.models import train as train_mod
     state, step = train_mod.make_pipelined_train_setup(
-        mesh, n_microbatches=4, microbatch=2, hw=(8, 16), channels=16,
+        mesh, microbatch=2, hw=(8, 16), channels=16,
         lr=1e-2, seed=0)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.normal(size=(4, 2, 8, 16, 16)).astype(np.float32))
