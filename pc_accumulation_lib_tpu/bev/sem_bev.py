@@ -258,7 +258,10 @@ class SemBEVGenerator:
         inside the returned finalize, after the caller has synced host
         poses, and must return the metric-space traj dict of
         generate_samples. Randomized augmentation only (the heading-aligned
-        fallback needs host poses at dispatch time)."""
+        fallback needs host poses at dispatch time). ``fetch_group``:
+        sparse sample buffers are stacked and fetched in groups of this
+        size — measured neutral vs per-sample on the remote tunnel at 4
+        (1.4 MB chunks) and ~8%% slower at 8 (2.9 MB chunks stall)."""
         if self._mesh is not None:
             raise NotImplementedError(
                 'generate_samples_device (accum.step fast path) is '
