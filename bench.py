@@ -303,9 +303,36 @@ def main():
     print(json.dumps(result))
 
 
+def _tunnel_preflight(max_wait_s=900):
+    """The remote-TPU tunnel occasionally wedges so hard that backend
+    init hangs forever (observed repeatedly: even jax.devices() never
+    returns, typically after a timeout-killed client). Probe it in a
+    SUBPROCESS with its own timeout and wait for recovery BEFORE touching
+    the backend in this process — a transient wedge then delays the bench
+    instead of hanging it past the caller's timeout."""
+    import subprocess
+    t0 = time.time()
+    probe = ('import numpy as np, jax, jax.numpy as jnp;'
+             'print(np.asarray(jnp.ones(2) + 1)[0])')
+    while True:
+        try:
+            subprocess.run([sys.executable, '-c', probe], timeout=90,
+                           check=True, capture_output=True)
+            return True
+        except Exception:
+            if time.time() - t0 > max_wait_s:
+                print('tunnel preflight: still wedged after '
+                      f'{max_wait_s}s; proceeding anyway', file=sys.stderr)
+                return False
+            print('tunnel preflight: backend probe hung; retrying',
+                  file=sys.stderr)
+            time.sleep(45)
+
+
 if __name__ == '__main__':
     # Silence incidental prints from the pipeline; only the JSON line goes
     # to stdout.
+    _tunnel_preflight()
     import builtins
     _orig_print = builtins.print
 
