@@ -123,15 +123,28 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
     # order-independent), so a 1-key sort suffices — a 2-key comparator
     # costs ~2x on the main sort (measured on v5e). The XLA fallback reads
     # the min as the segment-start element, which NEEDS z as a secondary
-    # key. With hist_medians, the clipped u8 rgb values ride the same sort
-    # as 3 extra payloads and the kernel histograms them — replacing the
-    # six median sorts below.
-    main_ops = [c2, z.astype(jnp.float32), int_road, road_f, dyn_f]
-    if hist_ok:
-        main_ops += [jnp.clip(rgb[:, ch], 0., 255.) for ch in range(3)]
-    sorted_ops = jax.lax.sort(tuple(main_ops),
-                              num_keys=1 if pallas_ok else 2)
-    s_c2, s_z, s_int, s_road, s_dyn = sorted_ops[:5]
+    # key.
+    # All the small-integer per-point features (road/dyn flags and, with
+    # hist_medians, the clipped u8 rgb) ride the sort as ONE packed int32
+    # payload and are unpacked with vector ops afterwards — sort operand
+    # bytes are the raster's dominant cost, and the packing is bit-exact.
+    if pallas_ok:
+        packed = ((road_f.astype(jnp.int32) << 25)
+                  | (dyn_f.astype(jnp.int32) << 24))
+        if hist_ok:
+            r8, g8, b8 = (jnp.clip(rgb[:, ch], 0., 255.).astype(jnp.int32)
+                          for ch in range(3))
+            packed = packed | (r8 << 16) | (g8 << 8) | b8
+        sorted_ops = jax.lax.sort(
+            (c2, z.astype(jnp.float32), int_road, packed), num_keys=1)
+        s_c2, s_z, s_int, s_packed = sorted_ops
+        s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
+        s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
+    else:
+        sorted_ops = jax.lax.sort(
+            (c2, z.astype(jnp.float32), int_road, road_f, dyn_f),
+            num_keys=2)
+        s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
 
     hists = None
     if pallas_ok:
@@ -139,10 +152,15 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
         # (ops/pallas_stats.py) instead of cumsums + a per-group
         # searchsorted; the median boundary table comes from the counts.
         from pc_accumulation_lib_tpu.ops import pallas_stats
+        if hist_ok:
+            value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
+                          ((s_packed >> 8) & 255).astype(jnp.float32),
+                          (s_packed & 255).astype(jnp.float32)]
+        else:
+            value_rows = ()
         st = pallas_stats.segmented_stats(
             s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z, sent,
-            interpret=pallas_interpret,
-            value_rows=list(sorted_ops[5:]) if hist_ok else ())
+            interpret=pallas_interpret, value_rows=value_rows)
         sums, zmin = st[0], st[1]
         if hist_ok:
             hists = st[2]
