@@ -331,8 +331,11 @@ def _tunnel_preflight(max_wait_s=900):
 
 if __name__ == '__main__':
     # Silence incidental prints from the pipeline; only the JSON line goes
-    # to stdout.
-    _tunnel_preflight()
+    # to stdout. The preflight exists for the remote-TPU tunnel; skip it
+    # when the run explicitly targets the CPU backend (ADVICE r2 #3 — a
+    # CPU-only dev box should not pay a 900 s wedge wait it can't hit).
+    if os.environ.get('JAX_PLATFORMS', '').strip() != 'cpu':
+        _tunnel_preflight()
     import builtins
     _orig_print = builtins.print
 

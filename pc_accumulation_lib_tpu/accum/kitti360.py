@@ -29,10 +29,14 @@ def window_update(seg_ring, ws, T_world, T_world_prev, frame_id, horizon,
     Exact same argmax-over-cumsum formulation as the host code; equivalence
     on random walks is pinned by tests/test_step_pipeline.py.
 
-    Returns (seg_ring, new window_start, pre-eviction path length)."""
+    Returns (seg_ring, new window_start, pre-eviction path length,
+    ring_overflow flag). ring_overflow=1 means the live window spans more
+    than R frames (e.g. a stationary stretch longer than max_frames): the
+    wrapped seg_ring would silently drop path segments, so the host raises
+    with the right attribution (ring capacity, not buffer overflow)."""
     R = seg_ring.shape[0]
     if first:
-        return seg_ring, ws, jnp.float32(0)
+        return seg_ring, ws, jnp.float32(0), jnp.float32(0)
     seg = jnp.linalg.norm(T_world[:3, 3] - T_world_prev[:3, 3])
     seg_ring = seg_ring.at[frame_id % R].set(seg)
     # Window segments in global-id order ws+1 .. frame_id.
@@ -42,7 +46,9 @@ def window_update(seg_ring, ws, T_world, T_world_prev, frame_id, horizon,
     overshoot = path - horizon
     cond = (jnp.cumsum(segs) - overshoot > 0.) & (gids <= frame_id)
     idx = jnp.where(path > horizon, jnp.argmax(cond).astype(jnp.int32), 0)
-    return seg_ring, ws + idx, path
+    ws_new = ws + idx
+    overflow = (frame_id - ws_new >= R).astype(jnp.float32)
+    return seg_ring, ws_new, path, overflow
 
 
 def pose_params_vec(T_world, T_world_prev, ws, frame_id):
@@ -167,15 +173,15 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             painted, valid_out, n_valid = buffer.compact_rows(
                 painted, valid_out, cap)
             state = buffer.insert_frame(state, painted, valid_out, frame_id)
-            seg_ring, ws_new, path = window_update(seg_ring, ws, T_world,
-                                                   T_world_prev, frame_id,
-                                                   horizon, first)
+            seg_ring, ws_new, path, ring_ovf = window_update(
+                seg_ring, ws, T_world, T_world_prev, frame_id, horizon,
+                first)
             pose_vec = pose_params_vec(T_world, T_world_prev, ws_new,
                                        frame_id)
             packed = jnp.concatenate([
                 T_world.reshape(-1), T_new_prev.reshape(-1),
                 jnp.stack([n_valid.astype(jnp.float32), n_corr,
-                           ws_new.astype(jnp.float32), path])])
+                           ws_new.astype(jnp.float32), path, ring_ovf])])
             # T_world / T_new_prev / window state / pose_vec returned as
             # device arrays: the pose chain AND the BEV raster params thread
             # device->device between frames, so dispatching frame k+1's
@@ -330,6 +336,14 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                     f'cap {self.accum_cfg.painted_cap}; raise '
                     'AccumConfig.max_painted_points_per_frame (points must '
                     'not be silently dropped).')
+            if vec[36] != 0.0:
+                raise RuntimeError(
+                    'Eviction-ring overflow: the live memory-horizon window '
+                    f'spans more than max_frames={self.accum_cfg.max_frames} '
+                    'frames (e.g. a stationary stretch), so the device '
+                    'seg_ring would wrap and drop path segments. Raise '
+                    'AccumConfig.max_frames to cover horizon_dist at the '
+                    'slowest expected speed.')
             self._T_world_velo_last = T_world_velo
             self._T_new_prev_last = T_new_prev
             self._append_frame_meta(T_world_velo, rgb, None,
@@ -368,9 +382,23 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         next step's compute. Returns the BEV dict list (or a zero-arg
         callable yielding it when ``async_fetch``).
         """
+        gen = self.sem_bev_generator
+        if not gen.do_aug:
+            # The no-aug rotation is heading-aligned and needs host poses
+            # at dispatch time (ADVICE r2 #2) — fall back to the classic
+            # (unpipelined but equivalent) path instead of silently
+            # producing differently-oriented BEVs.
+            integrate_fn = self.integrate(observations, async_fetch=True)
+
+            def finalize_classic():
+                integrate_fn()
+                return self.generate_bev(present_idx=len(self.poses) - 2,
+                                         bev_num=bev_num,
+                                         gen_future=gen_future)
+
+            return finalize_classic if async_fetch else finalize_classic()
         handles = [self._dispatch_obs(obs) for obs in observations]
         pose_vec = self._pose_vec_dev
-        gen = self.sem_bev_generator
         f, n, d = self.state.points.shape
         flat_pts = self.state.points.reshape(f * n, d)
         flat_valid = self.state.valid.reshape(f * n)

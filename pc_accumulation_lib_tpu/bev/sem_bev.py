@@ -268,13 +268,21 @@ class SemBEVGenerator:
                 'single-chip only: the mesh-sharded raster takes one '
                 'packed host vector, not the (pose_vec, aug) device '
                 'tuple. Use integrate() + generate_bev() with a mesh.')
+        if not self.do_aug:
+            # The classic path's no-aug rotation is heading-aligned
+            # (_heading_rot_ang), which needs host poses — unavailable at
+            # dispatch time here. Refuse rather than silently produce
+            # differently-oriented BEVs (accum.step falls back to the
+            # classic path in this case).
+            raise NotImplementedError(
+                'generate_samples_device requires augmentation '
+                '(max_trans_radius/zoom_thresh > 0): the no-aug rotation '
+                'is heading-aligned and needs host poses at dispatch. '
+                'Use integrate() + generate_bev().')
         hf = np.inf if self.height_filter is None else self.height_filter
         draws, outs = [], []
         for _ in range(n_samples):
-            if self.do_aug:
-                rot_ang, dx, dy, zoom = self._draw_geom_aug()
-            else:
-                rot_ang, dx, dy, zoom = 0.5 * np.pi, 0.0, 0.0, 1.0
+            rot_ang, dx, dy, zoom = self._draw_geom_aug()
             w = self._draw_warp()
             aug9 = np.array(
                 [rot_ang, dx, dy, zoom, w['a1'], w['a2'], w['b1'], w['b2'],

@@ -168,9 +168,10 @@ def test_window_update_matches_host_eviction_random_walks():
         for fid in range(1, n_frames):
             T_cur = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(
                 jnp.asarray(poses[fid], jnp.float32))
-            seg_ring, ws, path = k3.window_update(
+            seg_ring, ws, path, ovf = k3.window_update(
                 seg_ring, ws, T_cur, T_prev, jnp.int32(fid),
                 jnp.float32(horizon), False)
+            assert float(ovf) == 0.0, (trial, fid)
             T_prev = T_cur
 
             host.poses.append(list(poses[fid]))
@@ -182,6 +183,33 @@ def test_window_update_matches_host_eviction_random_walks():
             np.testing.assert_allclose(float(path), host_path, rtol=1e-5)
             # The live window must fit the ring (bench sizing invariant).
             assert fid - int(ws) + 1 <= R, (trial, fid)
+
+
+def test_window_update_flags_ring_overflow():
+    """A stationary/slow stretch longer than the ring must raise the
+    overflow flag (window spans > R frames) instead of silently wrapping
+    seg_ring (ADVICE r2 #1)."""
+    import jax.numpy as jnp
+
+    from pc_accumulation_lib_tpu.accum import kitti360 as k3
+
+    R = 8
+    seg_ring = jnp.zeros((R,), jnp.float32)
+    ws = jnp.int32(0)
+    T_prev = jnp.eye(4, dtype=jnp.float32)
+    flagged_at = None
+    for fid in range(1, 2 * R):
+        T_cur = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(
+            jnp.asarray([0.01 * fid, 0.0, 0.0], jnp.float32))
+        seg_ring, ws, _, ovf = k3.window_update(
+            seg_ring, ws, T_cur, T_prev, jnp.int32(fid),
+            jnp.float32(100.0), False)
+        T_prev = T_cur
+        if float(ovf) != 0.0 and flagged_at is None:
+            flagged_at = fid
+    # Window start never advances (horizon 100 m never exceeded), so the
+    # window spans R+1 frames exactly at fid == R.
+    assert flagged_at == R
 
 
 def test_step_async_fetch_matches_sync():
