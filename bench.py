@@ -203,13 +203,22 @@ def main():
     from pc_accumulation_lib_tpu.models.semseg import SemSegTPU
     from pc_accumulation_lib_tpu.utils.profiling import PhaseTimer
 
+    from pc_accumulation_lib_tpu.dataloaders.synthetic import (FULL_IMG_H,
+                                                               FULL_IMG_W)
     n_frames = 24
+    bev1_frames = 6       # extra frames for the bev_num=1 operating point
     warmup_frames = 6
-    stream = SyntheticKitti360Stream(n_frames=n_frames, step=2.0,
-                                     lidar_range=60.0, seed=0,
-                                     points_per_frame=45_000)  # ~121k/frame
+    # Full KITTI-360 rect camera resolution (376x1408): the reference runs
+    # semseg at full rect size with no downscale anywhere
+    # (kitti360_obs_dataloader.py:94) — the bench measures the honest
+    # semseg cost. Point count (~121k/frame) matches real scans.
+    img_hw = (FULL_IMG_H, FULL_IMG_W)
+    stream = SyntheticKitti360Stream(n_frames=n_frames + bev1_frames,
+                                     step=2.0, lidar_range=60.0, seed=0,
+                                     points_per_frame=45_000,  # ~121k/frame
+                                     img_hw=img_hw)
 
-    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib(img_hw)
     calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
                  p_velo_frame=P_cam_frame @ H_velo_cam)
     # max_frames sized to the horizon: 40 m / ~1.9 m per frame ~ 21 live
@@ -243,7 +252,7 @@ def main():
         cfg.DEFAULT_SEM_IDXS, False, bev_params, accum_cfg=accum_cfg,
         icp_cfg=icp_cfg, seed=0, transfer_dtype='quantized')
 
-    frames = [stream.frame(i) for i in range(n_frames)]
+    frames = [stream.frame(i) for i in range(n_frames + bev1_frames)]
 
     # Warmup: triggers all compiles (semseg, paint, ICP, insert, raster).
     t_warm = time.perf_counter()
@@ -287,6 +296,29 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_samples / dt
+
+    # Secondary operating point (BASELINE configs 1-3): bev_num=1 — no
+    # augmentation amortization, each sample pays a full integrate
+    # (semseg + ICP + paint). Reported on stderr; the driver metric stays
+    # the bevs_per_sample default below.
+    t1 = time.perf_counter()
+    n1 = 0
+    fut = None
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        for i in range(n_frames, n_frames + bev1_frames):
+            handle = accum.step([frames[i]], bev_num=1, gen_future=True,
+                                async_fetch=True)
+            nxt = ex.submit(handle)
+            if fut is not None:
+                n1 += len(fut.result())
+            fut = nxt
+        n1 += len(fut.result())
+    dt1 = time.perf_counter() - t1
+    print(json.dumps({
+        'metric': 'e2e_bev1_samples_per_sec_per_chip',
+        'value': round(n1 / dt1, 3), 'unit': 'samples/s (bev_num=1)',
+        'vs_baseline': round(n1 / dt1 / 50.0, 3)}), file=sys.stderr)
+
     print('--- phase breakdown (steady state) ---', file=sys.stderr)
     print(timer.report(), file=sys.stderr)
     print(f'total {dt:.3f}s for {n_samples} samples', file=sys.stderr)

@@ -378,9 +378,8 @@ class SemBEVGenerator:
             except core.SparseOverflow:
                 with self._telemetry_lock:
                     self.sparse_overflows += 1
-                stack = core.dequantize_stack_batch(
-                    np.asarray(dense)[None], gen_future,
-                    self.pixel_size)[0]
+                stack = core.decode_dense_words(
+                    np.asarray(dense), gen_future, self.pixel_size)
             if w is not None and w['active']:
                 stack = warp_ops.warp_dense_maps_np(
                     stack, w['a1'], w['a2'], w['b1'], w['b2'])

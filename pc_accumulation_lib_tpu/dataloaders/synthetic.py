@@ -22,13 +22,20 @@ import PIL.Image as Image
 RAW_ROAD, RAW_SIDEWALK, RAW_BUILDING, RAW_VEGETATION, RAW_CAR = 7, 8, 11, 21, 26
 RAW_POLE = 17
 
-IMG_H, IMG_W = 188, 704
+IMG_H, IMG_W = 188, 704            # test default (quarter-res rect)
+FULL_IMG_H, FULL_IMG_W = 376, 1408  # real KITTI-360 rect resolution — the
+# reference runs semseg at full rect size with no downscale anywhere
+# (kitti360_obs_dataloader.py:94, onnx_utils.py:32-44); bench.py uses this.
 EGO_Z = 1.73  # lidar height above road
 
 
-def make_calib() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def make_calib(img_hw: Tuple[int, int] = (IMG_H, IMG_W)
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(H_cam_velo, H_velo_cam, P_cam_frame): camera at the lidar origin
-    looking along +x_velo with standard axis permutation."""
+    looking along +x_velo with standard axis permutation. The focal
+    length scales with image width so the FOV (and therefore the painted
+    point set) is resolution-independent."""
+    h, w = img_hw
     H_cam_velo = np.array([
         [0., 0., 1., 0.27],
         [-1., 0., 0., 0.],
@@ -36,9 +43,10 @@ def make_calib() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         [0., 0., 0., 1.],
     ])
     H_velo_cam = np.linalg.inv(H_cam_velo)
+    f = 350.0 * w / 704.0
     P_cam_frame = np.array([
-        [350.0, 0., IMG_W / 2, 0.],
-        [0., 350.0, IMG_H / 2, 0.],
+        [f, 0., w / 2, 0.],
+        [0., f, h / 2, 0.],
         [0., 0., 1., 0.],
     ])
     return H_cam_velo, H_velo_cam, P_cam_frame
@@ -107,10 +115,14 @@ class SyntheticKitti360Stream:
     def __init__(self, n_frames: int = 30, step: float = 2.0,
                  lidar_range: float = 60.0, seed: int = 0,
                  points_per_frame: Optional[int] = None,
-                 yaw_rate: float = 0.0):
+                 yaw_rate: float = 0.0,
+                 img_hw: Tuple[int, int] = (IMG_H, IMG_W)):
         """``yaw_rate`` [rad/frame] > 0 drives a curved trajectory: the ego
         frame rotates, exercising ICP rotation recovery, the world pose
-        chain, and heading-aligned BEV extraction."""
+        chain, and heading-aligned BEV extraction. ``img_hw``: camera
+        resolution — pair with make_calib(img_hw) (bench.py passes the
+        real rect size FULL_IMG_H/W)."""
+        self.img_hw = tuple(img_hw)
         self.n_frames = n_frames
         self.step = step
         self.lidar_range = lidar_range
@@ -163,11 +175,12 @@ class SyntheticKitti360Stream:
 
     def render_image(self, idx: int) -> Image.Image:
         """Cheap deterministic camera image (sky/road gradient)."""
-        v = np.linspace(0, 255, IMG_H, dtype=np.uint8)[:, None]
-        img = np.zeros((IMG_H, IMG_W, 3), np.uint8)
+        h, w = self.img_hw
+        v = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        img = np.zeros((h, w, 3), np.uint8)
         img[..., 0] = v
         img[..., 1] = 128
-        col = np.linspace(0, 255, IMG_W).astype(np.int64)[None, :]
+        col = np.linspace(0, 255, w).astype(np.int64)[None, :]
         img[..., 2] = ((col + idx) % 256).astype(np.uint8)
         return Image.fromarray(img)
 

@@ -2,18 +2,27 @@
 
 The sort-based raster (ops/sort_raster.py) reduces per-cell statistics with
 XLA cumsum + searchsorted + boundary gathers — all ~1e8 elem/s random-access
-ops. This kernel computes every per-group SUM and MIN in ONE bandwidth-bound
-pass by exploiting sortedness:
+ops. This kernel computes every per-group SUM, MIN, and rgb MEDIAN in ONE
+double-buffered bandwidth-bound pass by exploiting sortedness:
 
   grid = windows of K consecutive groups. Each window DMAs its point range
-  (scalar-prefetched boundaries) from HBM in chunks, builds a (C, K)
+  (scalar-prefetched boundaries) from HBM in CHUNK slices with two buffers
+  (next slice's DMA overlaps this slice's compute), builds a (C, K)
   one-hot of local group ids on the VPU, and accumulates
-    sums  += weights_T (W, C) @ one-hot (C, K)     on the MXU,
-    mins   = min(mins, columnwise-min of masked z)  on the VPU.
+    sums  += weights_T (W, C) @ one-hot (C, K)      on the MXU,
+    mins   = min(mins, columnwise-min of masked z)   on the VPU,
+    hist  += value-one-hot (B, C) @ one-hot (C, K)   on the MXU (u8 values).
 
-Per point: K*W MACs — at K=512, W=8 that is ~4 GFLOP per million points,
-i.e. microseconds of MXU time; the pass is DMA-bound. Replaces ~5 cumsums
-over N + one 131k-query searchsorted per BEV sample.
+After the window's last chunk the kernel finishes the medians IN VMEM:
+per-group cumulative histograms via 8 sublane shift-adds, order statistics
+(n-1)//2 and n//2 read off with threshold counts, and the 'full' split
+(present+future group pairs) via one lane shift — so the only median
+output is a (3, 2, K) f32 block per window instead of a
+(3, 256, K) histogram stack (~400 MB/raster at bench shape) that XLA
+would have to re-read, cumsum and argmax through.
+
+Replaces ~5 cumsums over N + one 131k-query searchsorted + 6 median sorts
+per BEV sample (see sort_raster.sorted_split_stats).
 """
 from __future__ import annotations
 
@@ -28,19 +37,52 @@ from jax.experimental.pallas import tpu as pltpu
 # Chunk of points processed per DMA; window of consecutive groups per
 # grid step. Both MXU/VPU-friendly sizes. DMA offsets must be 128-aligned
 # on TPU, so each chunk read is aligned down and over-fetched by ALIGN.
-CHUNK = 512
+CHUNK = 1024
 ALIGN = 128
 WIN = 512
 W_PAD = 8  # weight rows padded to the f32 sublane tile
 N_BINS = 256  # u8 value histogram bins (rgb medians)
+N_MED = 3    # median value rows (r, g, b)
+
+
+def _sublane_cumsum(h):
+    """Exact cumulative sum along axis 0 (bins) of an (N_BINS, K) f32
+    count array via log2(N_BINS) shifted adds — integer counts stay exact
+    (all values < 2^24)."""
+    n = h.shape[0]
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros((k, h.shape[1]), h.dtype), h[:n - k]], axis=0)
+        h = h + shifted
+        k *= 2
+    return h
+
+
+def _lane_shift_left(x):
+    """x[..., j] -> x[..., j+1] (last entry 0): pairs group 2c with 2c+1."""
+    zeros = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    return jnp.concatenate([x[..., 1:], zeros], axis=-1)
+
+
+def _median_ranks(cum, lens):
+    """0.5 * (order stat (n-1)//2 + order stat n//2) per column from an
+    exact cumulative histogram. Value at rank k = #bins with cum <= k
+    (cum is non-decreasing). Empty columns produce garbage — callers mask
+    with their own fill where lens == 0."""
+    t1 = jnp.floor((lens - 1.0) * 0.5)
+    t2 = jnp.floor(lens * 0.5)
+    v1 = jnp.sum((cum <= t1[None, :]).astype(jnp.float32), axis=0)
+    v2 = jnp.sum((cum <= t2[None, :]).astype(jnp.float32), axis=0)
+    return 0.5 * (v1 + v2)
 
 
 def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
-            *rest, n_pad, hist_rows=()):
-    if hist_rows:
-        hist_ref, key_buf, wt_buf, key_sem, wt_sem = rest
+            *rest, n_pad, med_rows=(), med_nsplit=0):
+    if med_rows:
+        (med_ref, hist_ref, key_buf, wt_buf, key_sem, wt_sem) = rest
     else:
-        hist_ref = None
+        med_ref = hist_ref = None
         key_buf, wt_buf, key_sem, wt_sem = rest
     w = pl.program_id(0)
     start = win_start_ref[w]
@@ -55,23 +97,46 @@ def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
     B = CHUNK + ALIGN
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, WIN), 1)
     row_pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    nchunks = pl.cdiv(length, CHUNK)
 
-    def body(i, _):
+    def chunk_dma(i, slot):
         off = start + i * CHUNK
         # 128-align the read (Mosaic requires lane-tile-aligned dynamic
         # slices) and over-fetch by ALIGN; the row mask shifts by rem.
         off_al = pl.multiple_of((off // ALIGN) * ALIGN, ALIGN)
-        rem = off - off_al
         cp_k = pltpu.make_async_copy(
-            keys_hbm.at[0, pl.ds(off_al, B)], key_buf.at[0, :], key_sem)
+            keys_hbm.at[0, pl.ds(off_al, B)], key_buf.at[slot, 0, :],
+            key_sem.at[slot])
         cp_w = pltpu.make_async_copy(
-            wts_hbm.at[:, pl.ds(off_al, B)], wt_buf, wt_sem)
-        cp_k.start()
-        cp_w.start()
-        cp_k.wait()
-        cp_w.wait()
+            wts_hbm.at[:, pl.ds(off_al, B)], wt_buf.at[slot], wt_sem.at[slot])
+        return cp_k, cp_w
 
-        local = key_buf[0, :] - base                      # (B,)
+    # Double buffering: chunk i+1's DMA rides under chunk i's compute —
+    # the serialized-small-DMA latency of the single-buffer kernel was the
+    # dominant cost at bench shape (~2300 blocking 20 KB copies).
+    @pl.when(nchunks > 0)
+    def _warmup():
+        k0, w0 = chunk_dma(0, 0)
+        k0.start()
+        w0.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _prefetch():
+            kn, wn = chunk_dma(i + 1, nslot)
+            kn.start()
+            wn.start()
+
+        kc, wc = chunk_dma(i, slot)
+        kc.wait()
+        wc.wait()
+
+        off = start + i * CHUNK
+        rem = off - (off // ALIGN) * ALIGN
+        local = key_buf[slot, 0, :] - base                # (B,)
         in_len = (row_pos >= rem) & (
             row_pos < rem + jnp.minimum(length - i * CHUNK, CHUNK))
         valid = in_len & (local >= 0) & (local < WIN)
@@ -83,65 +148,90 @@ def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
         # caught by `bench.py --selftest` on the real chip). The one-hot
         # operand is exact in bf16 either way; the pass stays DMA-bound.
         acc = jax.lax.dot_general(
-            wt_buf[:, :], onehot.astype(jnp.float32),
+            wt_buf[slot], onehot.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)           # (W_PAD, K)
         sum_ref[0] += acc
 
-        z = wt_buf[W_PAD - 1, :]                           # z row
+        z = wt_buf[slot, W_PAD - 1, :]                     # z row
         zmask = jnp.where(onehot, z[:, None], jnp.inf)     # (C, K)
         min_ref[0, 0, :] = jnp.minimum(min_ref[0, 0, :],
                                        jnp.min(zmask, axis=0))
 
         if hist_ref is not None:
-            # Per-group 256-bin value histograms for each hist row (rgb
+            # Per-group 256-bin value histograms for each med row (rgb
             # medians): one-hot of the u8 value @ the group one-hot —
             # both operands exact in bf16, counts exact in f32. Replaces
             # 6 median SORTS per raster (~60% of raster time) with MXU
             # work.
             oh_b16 = onehot.astype(jnp.bfloat16)
             bins = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, B), 0)
-            for hi, row in enumerate(hist_rows):
-                val = wt_buf[row, :].astype(jnp.int32)     # (B,) 0..255
+            for hi, row in enumerate(med_rows):
+                val = wt_buf[slot, row, :].astype(jnp.int32)  # (B,) 0..255
                 vh = (bins == val[None, :]).astype(jnp.bfloat16)
                 h = jax.lax.dot_general(
                     vh, oh_b16,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)    # (N_BINS, K)
-                hist_ref[0, hi] += h
+                hist_ref[hi] += h
         return 0
 
-    nchunks = pl.cdiv(length, CHUNK)
     jax.lax.fori_loop(0, nchunks, body, 0)
+
+    if med_ref is not None:
+        # Median finalize in VMEM: exact per-group cumulative histograms
+        # -> order statistics. Channel 0 of the output is the per-GROUP
+        # median (nsplit=2: present/future interleaved exactly like the
+        # group ids); channel 1 is the 'full' (present+future) median,
+        # meaningful at even lanes only (garbage at odd lanes — the
+        # XLA side reads every other lane). Empty groups produce garbage
+        # values here; the XLA side overwrites them with rgb_fill using
+        # the counts it already has.
+        lens = sum_ref[0, 0:1, :]                          # (1, K) counts
+        if med_nsplit == 2:
+            lens_full = lens + _lane_shift_left(lens)
+        for hi in range(len(med_rows)):
+            cum = _sublane_cumsum(hist_ref[hi])            # (N_BINS, K)
+            med_ref[0, hi, 0, :] = _median_ranks(cum, lens[0])
+            if med_nsplit == 2:
+                cum_full = cum + _lane_shift_left(cum)
+                med_ref[0, hi, 1, :] = _median_ranks(cum_full, lens_full[0])
+            else:
+                med_ref[0, hi, 1, :] = jnp.zeros((WIN,), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=('num_groups', 'interpret',
-                                             'hist_rows'))
+                                             'med_rows', 'med_nsplit'))
 def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
-                 interpret=False, hist_rows=()):
-    """Per-group sums and z-min (and optional value histograms) over
+                 interpret=False, med_rows=(), med_nsplit=0):
+    """Per-group sums and z-min (and optional exact u8-value medians) over
     sorted keys.
 
     Args:
       sorted_keys: (1, Npad) int32 ascending group ids (pad = num_groups).
-      weights_t: (W_PAD, Npad) float32; rows 0..W_PAD-2 are summed weights,
-        row W_PAD-1 is z (min-reduced). Npad must be a multiple of CHUNK
-        with at least CHUNK of padding slack.
+      weights_t: (W_PAD, Npad) float32; rows 0..W_PAD-2 are summed weights
+        (row 0 MUST be the all-ones count row when med_rows is used — the
+        median thresholds read it), row W_PAD-1 is z (min-reduced). Npad
+        must be a multiple of CHUNK with at least CHUNK of padding slack.
       win_start/win_len: (num_windows,) int32 point ranges per WIN-group
         window (from a coarse searchsorted).
       num_groups: static; multiple of WIN.
-      hist_rows: static tuple of weight-row indices holding u8 values in
-        [0,256) — for each, a per-group N_BINS histogram is accumulated
-        on the MXU (exact integer counts in f32).
+      med_rows: static tuple of weight-row indices holding u8 values in
+        [0,256) — for each, the exact np.median per group is computed
+        in-kernel from an MXU-accumulated histogram.
+      med_nsplit: 2 when group ids interleave two time splits
+        (group = cell*2 + is_future) — additionally computes the
+        present+future 'full' median per cell.
 
-    Returns (sums (num_groups, W_PAD), zmin (num_groups,)[, hists
-    (len(hist_rows), N_BINS, num_groups)]).
+    Returns (sums (num_groups, W_PAD), zmin (num_groups,)[, meds
+    (len(med_rows), 2, num_groups) — [:, 0] per-group medians, [:, 1]
+    'full' medians at even group positions]).
     """
     assert num_groups % WIN == 0
     num_windows = num_groups // WIN
     n_pad = sorted_keys.shape[1]
-    n_hist = len(hist_rows)
+    n_med = len(med_rows)
     out_specs = [
         pl.BlockSpec((1, W_PAD, WIN), lambda w, *_: (w, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -152,13 +242,20 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
         jax.ShapeDtypeStruct((num_windows, W_PAD, WIN), jnp.float32),
         jax.ShapeDtypeStruct((num_windows, 1, WIN), jnp.float32),
     ]
-    if n_hist:
+    scratch_shapes = [
+        pltpu.VMEM((2, 1, CHUNK + ALIGN), jnp.int32),
+        pltpu.VMEM((2, W_PAD, CHUNK + ALIGN), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if n_med:
         out_specs.append(
-            pl.BlockSpec((1, n_hist, N_BINS, WIN), lambda w, *_: (w, 0, 0, 0),
+            pl.BlockSpec((1, n_med, 2, WIN), lambda w, *_: (w, 0, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
-            jax.ShapeDtypeStruct((num_windows, n_hist, N_BINS, WIN),
-                                 jnp.float32))
+            jax.ShapeDtypeStruct((num_windows, n_med, 2, WIN), jnp.float32))
+        scratch_shapes.insert(0, pltpu.VMEM((n_med, N_BINS, WIN),
+                                            jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_windows,),
@@ -167,15 +264,11 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((1, CHUNK + ALIGN), jnp.int32),
-            pltpu.VMEM((W_PAD, CHUNK + ALIGN), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, n_pad=n_pad, hist_rows=hist_rows),
+        functools.partial(_kernel, n_pad=n_pad, med_rows=med_rows,
+                          med_nsplit=med_nsplit),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -183,12 +276,11 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
     sums, mins = outs[0], outs[1]
     sums = jnp.transpose(sums, (0, 2, 1)).reshape(num_groups, W_PAD)
     mins = mins.reshape(num_groups)
-    if not n_hist:
+    if not n_med:
         return sums, mins
-    # (nw, H, BINS, WIN) -> (H, BINS, num_groups)
-    hists = jnp.transpose(outs[2], (1, 2, 0, 3)).reshape(
-        n_hist, N_BINS, num_groups)
-    return sums, mins, hists
+    # (nw, M, 2, WIN) -> (M, 2, num_groups)
+    meds = jnp.transpose(outs[2], (1, 2, 0, 3)).reshape(n_med, 2, num_groups)
+    return sums, mins, meds
 
 
 def window_boundaries(sorted_keys_1d, num_groups):
@@ -200,14 +292,17 @@ def window_boundaries(sorted_keys_1d, num_groups):
 
 
 def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
-                    interpret=False, value_rows=()):
+                    interpret=False, value_rows=(), med_nsplit=1):
     """Convenience wrapper: per-group sums for each row in ``weight_rows``
-    (list of (N,) f32 aligned with the sorted keys) and per-group z-min;
-    optionally per-group N_BINS value histograms for each (N,) u8-valued
-    array in ``value_rows``.
+    (list of (N,) f32 aligned with the sorted keys; row 0 must be the
+    all-ones count row when value_rows is used) and per-group z-min;
+    optionally the exact per-group np.median for each (N,) u8-valued
+    array in ``value_rows`` (in-kernel histogram medians).
 
     Returns (sums (num_groups, len(weight_rows)), zmin (num_groups,))
-    [, hists (len(value_rows), N_BINS, num_groups)].
+    [, meds (len(value_rows), 2, num_groups): [:, 0] per-group medians;
+    [:, 1] medians of adjacent group PAIRS (the 'full' split when
+    med_nsplit == 2), valid at even positions].
     """
     n = sorted_keys_1d.shape[0]
     n_pad = ((n + CHUNK - 1) // CHUNK + 2) * CHUNK
@@ -220,15 +315,16 @@ def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
     wt = jnp.zeros((W_PAD, n_pad), jnp.float32)
     for i, r in enumerate(rows):
         wt = wt.at[i, :n].set(r.astype(jnp.float32))
-    hist_rows = tuple(range(len(rows), len(rows) + len(vals)))
-    for i, v in zip(hist_rows, vals):
+    med_rows = tuple(range(len(rows), len(rows) + len(vals)))
+    for i, v in zip(med_rows, vals):
         wt = wt.at[i, :n].set(v.astype(jnp.float32))
     wt = wt.at[W_PAD - 1, :n].set(z_sorted.astype(jnp.float32))
     ws, wl = window_boundaries(keys[0, :n], num_groups)
     out = window_stats(keys, wt, ws, wl, num_groups, interpret=interpret,
-                       hist_rows=hist_rows)
+                       med_rows=med_rows,
+                       med_nsplit=med_nsplit if vals else 0)
     if not vals:
         sums, zmin = out
         return sums[:, :len(rows)], zmin
-    sums, zmin, hists = out
-    return sums[:, :len(rows)], zmin, hists
+    sums, zmin, meds = out
+    return sums[:, :len(rows)], zmin, meds

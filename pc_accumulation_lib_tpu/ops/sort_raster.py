@@ -55,32 +55,31 @@ def _median_from_sorted(packed_sorted, starts, lens, fill_value, base=256):
     return jnp.where(lens > 0, med, jnp.float32(fill_value))
 
 
-def _medians_from_hists(hists, lens2, n_cells, nsplit, rgb_fill):
-    """np.median per group from per-group u8 value histograms.
+def _medians_from_kernel(meds, lens, n_cells, nsplit, rgb_fill):
+    """Unpack the Pallas kernel's in-kernel medians into the split dict.
 
-    hists: (3, N_BINS, n_cells*nsplit) counts from the Pallas kernel;
-    lens2: (n_cells, nsplit) group sizes. Median of an integer multiset =
-    mean of order stats (n-1)//2 and n//2 — read from the cumulative
-    histogram with two argmax scans (exactly _median_from_sorted).
-    Returns {split: [(n_cells,) f32 x3]} including 'full' (histograms sum
-    across splits; the sort formulation needs 3 extra full-keyed sorts).
+    meds: (3, 2, n_cells*nsplit) from pallas_stats — [:, 0] per-group
+    medians (exactly np.median of each group's integer values, computed
+    in-kernel from MXU histograms), [:, 1] 'full' (adjacent group pair)
+    medians at even positions. lens: (sent,) group sizes. Empty groups
+    hold kernel garbage — masked to rgb_fill here.
     """
+    fill = jnp.float32(rgb_fill)
     out = {}
-    h = hists.reshape(3, -1, n_cells, nsplit)
-    variants = [('present', h[..., 0], lens2[:, 0])]
     if nsplit == 2:
-        variants += [('future', h[..., 1], lens2[:, 1]),
-                     ('full', h.sum(-1), lens2.sum(-1))]
-    for name, hh, ln in variants:
-        li = ln.astype(jnp.int32)
-        meds = []
-        for ch in range(3):
-            c = jnp.cumsum(hh[ch], axis=0)                 # (BINS, cells)
-            v1 = jnp.argmax(c > ((li - 1) // 2)[None, :], axis=0)
-            v2 = jnp.argmax(c > (li // 2)[None, :], axis=0)
-            med = 0.5 * (v1 + v2).astype(jnp.float32)
-            meds.append(jnp.where(li > 0, med, jnp.float32(rgb_fill)))
-        out[name] = meds
+        lens2 = lens.reshape(n_cells, 2)
+        pg = meds[:, 0, :].reshape(3, n_cells, 2)
+        full = meds[:, 1, :].reshape(3, n_cells, 2)[:, :, 0]
+        len_full = lens2.sum(-1)
+        out['present'] = [jnp.where(lens2[:, 0] > 0, pg[c, :, 0], fill)
+                          for c in range(3)]
+        out['future'] = [jnp.where(lens2[:, 1] > 0, pg[c, :, 1], fill)
+                         for c in range(3)]
+        out['full'] = [jnp.where(len_full > 0, full[c], fill)
+                       for c in range(3)]
+    else:
+        out['present'] = [jnp.where(lens > 0, meds[c, 0, :], fill)
+                          for c in range(3)]
     return out
 
 
@@ -146,11 +145,11 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
             num_keys=2)
         s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
 
-    hists = None
+    kmeds = None
     if pallas_ok:
-        # One bandwidth-bound Pallas pass for every sum + the z-min
-        # (ops/pallas_stats.py) instead of cumsums + a per-group
-        # searchsorted; the median boundary table comes from the counts.
+        # One bandwidth-bound Pallas pass for every sum + the z-min + (with
+        # hist_medians) the exact per-group rgb medians (ops/pallas_stats.py)
+        # instead of cumsums + a per-group searchsorted + 6 median sorts.
         from pc_accumulation_lib_tpu.ops import pallas_stats
         if hist_ok:
             value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
@@ -160,10 +159,11 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
             value_rows = ()
         st = pallas_stats.segmented_stats(
             s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z, sent,
-            interpret=pallas_interpret, value_rows=value_rows)
+            interpret=pallas_interpret, value_rows=value_rows,
+            med_nsplit=nsplit)
         sums, zmin = st[0], st[1]
         if hist_ok:
-            hists = st[2]
+            kmeds = st[2]
         lens = sums[:, 0]
         road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
         ends = jnp.cumsum(lens.astype(jnp.int32))
@@ -203,9 +203,8 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
                        (zmin_s, jnp.minimum)):
             d['full'] = red(d['present'], d['future'])
 
-    if hists is not None:
-        lens2 = lens.reshape(n_cells, nsplit)
-        med = _medians_from_hists(hists, lens2, n_cells, nsplit, rgb_fill)
+    if kmeds is not None:
+        med = _medians_from_kernel(kmeds, lens, n_cells, nsplit, rgb_fill)
         out = {}
         for s in lens_s:
             _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],

@@ -92,7 +92,9 @@ def main():
     @jax.jit
     def pack_sparse_like(dense, counts):
         from pc_accumulation_lib_tpu.bev import core
-        return core._pack_sparse(dense, counts, P, 12288, 3).sum()
+        words = core._pack_channel_words(dense, 3, P * P)
+        caps = core.resolve_sparse_caps(12288)
+        return core._pack_sparse(words, counts, P, caps, 3).sum()
 
     dense = jnp.asarray(rng.random((21, P, P)).astype(np.float16))
     counts = jnp.asarray(
