@@ -224,35 +224,48 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                                             params.warp_a2, params.warp_b1,
                                             params.warp_b2)
 
-        # Road-marking transform on the intensity channels, then pack the
-        # whole channel stack as ONE float16 array: the host unpacks with
-        # unpack_maps after a single device->host fetch (each separate
-        # fetch costs a ~33ms round trip on the remote-TPU tunnel).
-        n_ch = len(_SPLIT_CHANNELS)
-        final = []
-        for si, name in enumerate(meta):
-            base = si * n_ch
-            final += [maps[base + 0],
-                      ras.road_marking_transform(maps[base + 1], int_scaler,
-                                                 int_sep_scaler,
-                                                 int_mid_threshold),
-                      maps[base + 2], maps[base + 3], maps[base + 4],
-                      maps[base + 5], maps[base + 6]]
-        dense = jnp.stack(final).astype(jnp.float16)
+        dense = finalize_dense(maps, len(meta), int_scaler, int_sep_scaler,
+                               int_mid_threshold)
         if pack != 'sparse':
             return dense
-        counts = maps[len(meta) * n_ch:]
-        caps = resolve_sparse_caps(sparse_cap)[:len(meta)]
-        # Byte-pack each cell's 7 channels into two int32 words ONCE: the
-        # sparse compaction then gathers 2 words/cell instead of 7
-        # channels/cell (gathers run at ~1e8 elem/s on TPU — they were the
-        # bulk of the pack cost), and the dense overflow fallback is the
-        # same words bitcast flat (no separate quantize dispatch).
-        words = _pack_channel_words(dense, len(meta), P * P)
-        return (_pack_sparse(words, counts, P, caps, len(meta)),
-                jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1))
+        counts = maps[len(meta) * len(_SPLIT_CHANNELS):]
+        return sparse_outputs(dense, counts, P, sparse_cap, len(meta))
 
     return jax.jit(raster, static_argnames=('gen_future',))
+
+
+def finalize_dense(maps, n_splits, int_scaler, int_sep_scaler,
+                   int_mid_threshold):
+    """Road-marking transform on the intensity channels, then pack the
+    whole channel stack as ONE float16 array: the host unpacks with
+    unpack_maps after a single device->host fetch (each separate fetch
+    costs a ~33ms round trip on the remote-TPU tunnel)."""
+    n_ch = len(_SPLIT_CHANNELS)
+    final = []
+    for si in range(n_splits):
+        base = si * n_ch
+        final += [maps[base + 0],
+                  ras.road_marking_transform(maps[base + 1], int_scaler,
+                                             int_sep_scaler,
+                                             int_mid_threshold),
+                  maps[base + 2], maps[base + 3], maps[base + 4],
+                  maps[base + 5], maps[base + 6]]
+    return jnp.stack(final).astype(jnp.float16)
+
+
+def sparse_outputs(dense, counts, P, sparse_cap, n_splits):
+    """(sparse_u8, dense_fallback_u8) transfer encodings of a finalized
+    (S*7,P,P) f16 stack + (S,P,P) counts. Byte-packs each cell's 7
+    channels into two int32 words ONCE: the sparse compaction then
+    gathers 2 words/cell instead of 7 channels/cell (gathers run at
+    ~1e8 elem/s on TPU — they were the bulk of the pack cost), and the
+    dense overflow fallback is the same words bitcast flat (no separate
+    quantize dispatch). Shared by the single-chip (make_raster_fn) and
+    mesh-sharded (parallel/sharded.py) rasters."""
+    caps = resolve_sparse_caps(sparse_cap)[:n_splits]
+    words = _pack_channel_words(dense, n_splits, P * P)
+    return (_pack_sparse(words, counts, P, caps, n_splits),
+            jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1))
 
 
 def resolve_sparse_caps(cap):

@@ -115,15 +115,13 @@ class SemBEVGenerator:
         self._sparse_empty = core.sparse_empty_values(
             int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
         if mesh is not None:
-            if fetch_dtype == 'sparse':
-                raise ValueError(
-                    "fetch_dtype='sparse' is single-chip only (the mesh "
-                    "raster returns replicated dense stacks)")
             from pc_accumulation_lib_tpu.parallel.sharded import (
                 make_sharded_raster_fn)
             self._raster = make_sharded_raster_fn(
                 mesh, self.view_size, self.pixel_size, self.sem_idxs,
-                int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
+                int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill,
+                pack='sparse' if fetch_dtype == 'sparse' else None,
+                sparse_cap=self.sparse_cap)
         else:
             self._raster = core.make_raster_fn(
                 self.view_size, self.pixel_size, self.sem_idxs, int_scaler,
@@ -263,11 +261,21 @@ class SemBEVGenerator:
         size — measured neutral vs per-sample on the remote tunnel at 4
         (1.4 MB chunks) and ~8%% slower at 8 (2.9 MB chunks stall)."""
         if self._mesh is not None:
+            # Permanent by design, not a gap: the step() fast path exists
+            # to avoid host round trips by threading the fused integrate's
+            # DEVICE pose vector into the raster, and that integrate state
+            # machine (accum/buffer ring, ICP chain) lives on one device.
+            # On a mesh, integrate() + generate_bev() is the supported
+            # path — and since the mesh raster now ships the same packed
+            # sparse encoding (parallel/sharded.py pack='sparse'), its
+            # per-sample transfer cost matches this fast path; only the
+            # per-step pose fetch (~1 RTT) differs.
             raise NotImplementedError(
                 'generate_samples_device (accum.step fast path) is '
                 'single-chip only: the mesh-sharded raster takes one '
                 'packed host vector, not the (pose_vec, aug) device '
-                'tuple. Use integrate() + generate_bev() with a mesh.')
+                'tuple. Use integrate() + generate_bev() with a mesh '
+                '(same sparse transfer encoding).')
         if not self.do_aug:
             # The classic path's no-aug rotation is heading-aligned
             # (_heading_rot_ang), which needs host poses — unavailable at

@@ -24,7 +24,8 @@ from pc_accumulation_lib_tpu.ops import warp as warp_ops
 
 def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
                            int_scaler, int_sep_scaler, int_mid_threshold,
-                           rgb_fill=0, points_axis: str = 'points'):
+                           rgb_fill=0, points_axis: str = 'points',
+                           pack=None, sparse_cap=None):
     """Build a jitted shard_map raster over ``mesh``.
 
     fn(points (M,10), valid (M,), pt_frame_ids (M,), inst_dyn (K,),
@@ -32,20 +33,30 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     -> replicated packed f16 channel stack — same contract as
     bev/core.make_raster_fn (unpack with bev_core.unpack_maps). M must be
     divisible by the points-axis size.
+
+    ``pack='sparse'``: same fast transfer encoding as the single-chip
+    raster — after the psum/pmin combine the per-split maps are
+    replicated, so each device packs the identical (sparse_u8, dense_u8)
+    pair (bev_core.sparse_outputs; host decode unchanged): a multi-chip
+    BEV run ships occupied cells only instead of dense f16 stacks.
+    Sparse outputs are PRE-warp, exactly like the single-chip contract.
     """
+    if pack == 'sparse' and sparse_cap is None:
+        sparse_cap = bev_core.default_sparse_cap(pixel_size)
     body = _make_shard_body(view_size, pixel_size, sem_idxs, int_scaler,
                             int_sep_scaler, int_mid_threshold, rgb_fill,
-                            points_axis)
+                            points_axis, pack=pack, sparse_cap=sparse_cap)
 
     pt_spec = P(points_axis)
     rep_spec = P()
 
     def build(gen_future):
         f = functools.partial(body, gen_future=gen_future)
+        out_spec = (rep_spec, rep_spec) if pack == 'sparse' else rep_spec
         return jax.shard_map(
             f, mesh=mesh,
             in_specs=(pt_spec, pt_spec, pt_spec, rep_spec, rep_spec),
-            out_specs=rep_spec)
+            out_specs=out_spec)
 
     fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
 
@@ -61,7 +72,7 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
 
 def _make_shard_body(view_size, pixel_size, sem_idxs, int_scaler,
                      int_sep_scaler, int_mid_threshold, rgb_fill,
-                     points_axis):
+                     points_axis, pack=None, sparse_cap=None):
     """Per-shard raster pipeline closing over the static BEV config; the
     psum/pmin partial combination binds ``points_axis`` only, so the body
     works replicated (make_sharded_raster_fn) or vmapped over a stream
@@ -98,7 +109,7 @@ def _make_shard_body(view_size, pixel_size, sem_idxs, int_scaler,
             splits['future'] = static_m & ~present_m
             splits['full'] = static_m
 
-        stack = []
+        stack, counts = [], []
         for name, split_mask in splits.items():
             acc = ras.split_accumulators(cells, split_mask, z, inten, rgb,
                                          sem, sem_idxs, Px)
@@ -112,22 +123,23 @@ def _make_shard_body(view_size, pixel_size, sem_idxs, int_scaler,
             stack += [ch['road'], ch['intensity'], ch['rgb'][0],
                       ch['rgb'][1], ch['rgb'][2], ch['dynamic'],
                       ch['elevation']]
-        maps = warp_ops.warp_dense_maps(jnp.stack(stack), params.warp_a1,
-                                        params.warp_a2, params.warp_b1,
-                                        params.warp_b2)
+            counts.append(acc['c_road'] + acc['c_not_road'])
+        maps = jnp.stack(stack)
+        if pack != 'sparse':
+            # Dense mode warps on device; sparse ships PRE-warp maps (the
+            # host applies the warp after decode — bev/core contract).
+            maps = warp_ops.warp_dense_maps(maps, params.warp_a1,
+                                            params.warp_a2, params.warp_b1,
+                                            params.warp_b2)
         # Same packed f16 channel-stack contract as bev/core.make_raster_fn
         # (unpack host-side with bev_core.unpack_maps).
-        n_splits = len(splits)
-        final = []
-        for si in range(n_splits):
-            base = si * 7
-            final += [maps[base],
-                      ras.road_marking_transform(maps[base + 1], int_scaler,
-                                                 int_sep_scaler,
-                                                 int_mid_threshold),
-                      maps[base + 2], maps[base + 3], maps[base + 4],
-                      maps[base + 5], maps[base + 6]]
-        return jnp.stack(final).astype(jnp.float16)
+        dense = bev_core.finalize_dense(maps, len(splits), int_scaler,
+                                        int_sep_scaler, int_mid_threshold)
+        if pack != 'sparse':
+            return dense
+        return bev_core.sparse_outputs(
+            dense, jnp.stack(counts).reshape(len(splits), Px, Px), Px,
+            sparse_cap, len(splits))
 
     return shard_body
 

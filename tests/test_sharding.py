@@ -184,3 +184,51 @@ def test_accumulator_with_mesh_matches_single(rng):
         b = np.asarray(bevs['mesh'][key], np.float32)
         atol = 2e-3 if key.startswith('intensity') else 1e-3
         np.testing.assert_allclose(b, a, atol=atol, err_msg=key)
+
+
+def test_sharded_sparse_fetch_matches_single_chip(rng):
+    """The mesh raster's pack='sparse' output must decode to the same
+    stacks as the single-chip sparse path (VERDICT r2 #4: multi-chip gets
+    the fast transfer encoding, not a dense f16 fallback)."""
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=5)
+    cap = P * P   # the dense test cloud occupies most cells
+    empty = core.sparse_empty_values(20., 20., 0.5)
+
+    single = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5,
+                                 pack='sparse', sparse_cap=cap)
+    sp_s, dense_s = single(jnp.asarray(pts), jnp.asarray(valid),
+                           jnp.asarray(fids), jnp.zeros(4, jnp.float32),
+                           params.pack(), True)
+
+    shard_fn = sharded.make_sharded_raster_fn(
+        mesh, 40.0, P, SEM_IDXS, 20., 20., 0.5, pack='sparse',
+        sparse_cap=cap)
+    sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
+                                              jnp.asarray(valid),
+                                              jnp.asarray(fids))
+    sp_m, dense_m = shard_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params,
+                             True)
+
+    a = core.decode_sparse_stack(np.asarray(sp_s), True, P, cap, empty)
+    b = core.decode_sparse_stack(np.asarray(sp_m), True, P, cap, empty)
+    # Occupancy (and therefore the bitmask section) must agree exactly;
+    # u8 channels may differ by one quantization step on f32
+    # summation-order boundaries, post-road-marking intensity a bit more.
+    S, n_mask = 3, P * P // 8
+    np.testing.assert_array_equal(np.asarray(sp_s)[:S * n_mask],
+                                  np.asarray(sp_m)[:S * n_mask])
+    for ci, name in enumerate(('road', 'intensity', 'r', 'g', 'b',
+                               'dynamic', 'elevation')):
+        for s in range(3):
+            d = np.abs(a[s * 7 + ci].astype(np.float32)
+                       - b[s * 7 + ci].astype(np.float32)).max()
+            tol = 0.0 if name == 'elevation' else \
+                2e-2 if name == 'intensity' else 1.5 / 255
+            assert d <= tol, (name, s, d)
+    # Dense overflow fallbacks decode equivalently too.
+    da = core.decode_dense_words(np.asarray(dense_s), True, P)
+    db = core.decode_dense_words(np.asarray(dense_m), True, P)
+    assert np.abs(da.astype(np.float32)
+                  - db.astype(np.float32)).max() <= 2e-2
