@@ -48,21 +48,23 @@ N_MED = 3    # median value rows (r, g, b)
 def _sublane_cumsum(h):
     """Exact cumulative sum along axis 0 (bins) of an (N_BINS, K) f32
     count array via log2(N_BINS) shifted adds — integer counts stay exact
-    (all values < 2^24)."""
+    (all values < 2^24). pltpu.roll + row mask instead of concatenate:
+    both are native Mosaic ops with no relayout."""
     n = h.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
     k = 1
     while k < n:
-        shifted = jnp.concatenate(
-            [jnp.zeros((k, h.shape[1]), h.dtype), h[:n - k]], axis=0)
-        h = h + shifted
+        shifted = pltpu.roll(h, shift=k, axis=0)
+        h = h + jnp.where(row_ids >= k, shifted, 0.0)
         k *= 2
     return h
 
 
 def _lane_shift_left(x):
-    """x[..., j] -> x[..., j+1] (last entry 0): pairs group 2c with 2c+1."""
-    zeros = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
-    return jnp.concatenate([x[..., 1:], zeros], axis=-1)
+    """x[..., j] <- x[..., j+1]: pairs group 2c with 2c+1. Circular (the
+    last lane wraps) — callers only read even lanes, whose pair partner
+    never wraps. pltpu.roll requires a non-negative shift: size-1 == -1."""
+    return pltpu.roll(x, shift=x.shape[-1] - 1, axis=x.ndim - 1)
 
 
 def _median_ranks(cum, lens):
