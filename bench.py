@@ -221,11 +221,11 @@ def main():
     H_cam_velo, H_velo_cam, P_cam_frame = make_calib(img_hw)
     calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
                  p_velo_frame=P_cam_frame @ H_velo_cam)
-    # max_frames sized to the horizon: 40 m / ~1.9 m per frame ~ 21 live
-    # frames, plus eviction lag and the pre-eviction transient (23 raises
-    # the frame-overflow guard). Dead buffer rows cost sort time in every
-    # raster, so don't oversize either.
-    accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=24,
+    # max_frames sized to the horizon: 40 m / ~1.85 m ICP-estimated step
+    # ~ 22-24 live frames (the ring-corruption guard fires if the window
+    # ever exceeds max_frames). Dead buffer rows cost sort time in every
+    # raster, so don't oversize much either.
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=26,
                                 max_painted_points_per_frame=49152)
     icp_cfg = cfg.ICPConfig(max_downsampled=4096, num_iters=16)
     # Random rotate/translate/zoom + polynomial warp augmentation: each

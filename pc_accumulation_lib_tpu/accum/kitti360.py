@@ -30,13 +30,18 @@ def window_update(seg_ring, ws, T_world, T_world_prev, frame_id, horizon,
     on random walks is pinned by tests/test_step_pipeline.py.
 
     Returns (seg_ring, new window_start, pre-eviction path length,
-    ring_overflow flag). ring_overflow=1 means the live window spans more
-    than R frames (e.g. a stationary stretch longer than max_frames): the
-    wrapped seg_ring would silently drop path segments, so the host raises
-    with the right attribution (ring capacity, not buffer overflow)."""
+    ring_overflow flag). ring_overflow=1 means THIS frame's ring write
+    overwrote a segment still inside the live window (the window reached
+    more than R frames, e.g. a stationary stretch longer than max_frames)
+    — the eviction sum is then corrupted, so the host raises with the
+    right attribution (ring capacity, not a generic buffer overflow).
+    Exactness: writing gid=frame_id to slot frame_id%%R destroys stale
+    gid frame_id-R, which is inside the pre-write window
+    [ws+1, frame_id-1] iff frame_id - ws > R."""
     R = seg_ring.shape[0]
     if first:
         return seg_ring, ws, jnp.float32(0), jnp.float32(0)
+    overflow = (frame_id - ws > R).astype(jnp.float32)
     seg = jnp.linalg.norm(T_world[:3, 3] - T_world_prev[:3, 3])
     seg_ring = seg_ring.at[frame_id % R].set(seg)
     # Window segments in global-id order ws+1 .. frame_id.
@@ -46,9 +51,7 @@ def window_update(seg_ring, ws, T_world, T_world_prev, frame_id, horizon,
     overshoot = path - horizon
     cond = (jnp.cumsum(segs) - overshoot > 0.) & (gids <= frame_id)
     idx = jnp.where(path > horizon, jnp.argmax(cond).astype(jnp.int32), 0)
-    ws_new = ws + idx
-    overflow = (frame_id - ws_new >= R).astype(jnp.float32)
-    return seg_ring, ws_new, path, overflow
+    return seg_ring, ws + idx, path, overflow
 
 
 def pose_params_vec(T_world, T_world_prev, ws, frame_id):

@@ -198,7 +198,7 @@ def test_window_update_flags_ring_overflow():
     ws = jnp.int32(0)
     T_prev = jnp.eye(4, dtype=jnp.float32)
     flagged_at = None
-    for fid in range(1, 2 * R):
+    for fid in range(1, 2 * R + 2):
         T_cur = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(
             jnp.asarray([0.01 * fid, 0.0, 0.0], jnp.float32))
         seg_ring, ws, _, ovf = k3.window_update(
@@ -207,9 +207,10 @@ def test_window_update_flags_ring_overflow():
         T_prev = T_cur
         if float(ovf) != 0.0 and flagged_at is None:
             flagged_at = fid
-    # Window start never advances (horizon 100 m never exceeded), so the
-    # window spans R+1 frames exactly at fid == R.
-    assert flagged_at == R
+    # Window start never advances (horizon 100 m never exceeded). The
+    # first CORRUPTING write (stale gid fid-R still inside the pre-write
+    # window [1, fid-1]) happens at fid == R+1.
+    assert flagged_at == R + 1
 
 
 def test_step_async_fetch_matches_sync():
