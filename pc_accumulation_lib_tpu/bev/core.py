@@ -298,26 +298,44 @@ def _pack_channel_words(dense, S, n_cells):
 
 def _pack_sparse(words, counts, P, caps, S):
     """Device-side sparse packing: (S, P*P, 2) int32 packed channel words
-    + (S,P,P) counts -> flat uint8 [masks (S,P*P/8) | per-split values
-    (caps[s],8) | n_occ (S,) i32 bytes].
+    + (S,P,P) counts -> flat uint8 buffer.
 
-    Occupied cells are taken in ascending cell order; the per-cell value
-    bytes come from TWO word gathers per split instead of seven channel
-    gathers (see _pack_channel_words; host inverse decode_sparse_stack)."""
+    Layout for S==1: [mask (P*P/8) | present values (caps[0],8) | n_occ].
+    Layout for S==3 (present/future/full): [masks present+future
+    (2*P*P/8) | present values (caps[0],8) | future values (caps[1],8) |
+    FULL-DELTA values (caps[1],8) | n_occ (3,) i32 bytes].
+
+    The 'full' split equals 'present' bit-exactly wherever the future
+    split has no points (counts add, mins combine, and the median of a
+    union with an empty set is unchanged), so full ships as a DELTA at
+    future-occupied cells only and needs no occupancy mask of its own —
+    ~15%% fewer bytes/sample at bench occupancy. Occupied cells are taken
+    in ascending cell order; the per-cell value bytes come from TWO word
+    gathers per split instead of seven channel gathers (see
+    _pack_channel_words; host inverse decode_sparse_stack)."""
     n_cells = P * P
     bit_w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-    masks, vals, noccs = [], [], []
-    for s in range(S):
-        occ = counts[s].reshape(-1) > 0
-        key = jnp.where(occ, jnp.arange(n_cells, dtype=jnp.int32), n_cells)
-        idx = jnp.argsort(key)[:caps[s]]
-        g = words[s][idx]                                     # (cap_s, 2)
+    # (split for values, occupancy-source split, capacity)
+    if S == 3:
+        plan = [(0, 0, caps[0]), (1, 1, caps[1]), (2, 1, caps[1])]
+        mask_splits, nocc_srcs = (0, 1), (0, 1, 1)
+    else:
+        plan = [(s, s, caps[s]) for s in range(S)]
+        mask_splits, nocc_srcs = tuple(range(S)), tuple(range(S))
+    occs = [counts[s].reshape(-1) > 0 for s in range(S)]
+    idxs = {}
+    vals = []
+    for s_val, s_occ, cap in plan:
+        if s_occ not in idxs:
+            key = jnp.where(occs[s_occ],
+                            jnp.arange(n_cells, dtype=jnp.int32), n_cells)
+            idxs[s_occ] = jnp.argsort(key)
+        g = words[s_val][idxs[s_occ][:cap]]                  # (cap, 2)
         vals.append(jax.lax.bitcast_convert_type(g, jnp.uint8).reshape(-1))
-        masks.append((occ.reshape(-1, 8).astype(jnp.uint8)
-                      * bit_w).sum(axis=1).astype(jnp.uint8))
-        noccs.append(occ.sum().astype(jnp.int32))
-    nb = jax.lax.bitcast_convert_type(jnp.stack(noccs),
-                                      jnp.uint8).reshape(-1)
+    masks = [(occs[s].reshape(-1, 8).astype(jnp.uint8)
+              * bit_w).sum(axis=1).astype(jnp.uint8) for s in mask_splits]
+    noccs = jnp.stack([occs[s].sum().astype(jnp.int32) for s in nocc_srcs])
+    nb = jax.lax.bitcast_convert_type(noccs, jnp.uint8).reshape(-1)
     return jnp.concatenate([jnp.concatenate(masks)] + vals + [nb])
 
 
@@ -342,34 +360,50 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
     """Host-side inverse of _pack_sparse for ONE sample: flat uint8 ->
     (S*7, P, P) float16 stack (unpack_maps layout). ``cap`` int or
     per-split tuple. Raises SparseOverflow when a split exceeded its cap
-    of occupied cells."""
+    of occupied cells. With gen_future, the 'full' section is a delta on
+    the present stack at future-occupied cells (see _pack_sparse)."""
     S = 3 if gen_future else 1
     P = pixel_size
-    caps = resolve_sparse_caps(cap)[:S]
+    caps = list(resolve_sparse_caps(cap)[:S])
+    n_masks = 2 if S == 3 else S
+    if S == 3:
+        caps[2] = caps[1]     # full delta rides the future occupancy/cap
     n_mask = P * P // 8
-    masks = raw[:S * n_mask].reshape(S, n_mask)
+    masks = raw[:n_masks * n_mask].reshape(n_masks, n_mask)
     val_sections = []
-    off = S * n_mask
+    off = n_masks * n_mask
     for s in range(S):
         val_sections.append(raw[off:off + caps[s] * 8].reshape(caps[s], 8))
         off += caps[s] * 8
     n_occ = np.ascontiguousarray(raw[off:]).view(np.int32)
-    stack = np.empty((S * 7, P, P), np.float16)
+    stack = np.empty((S, 7, P * P), np.float16)
+    empty7 = np.asarray(list(empty_vals) + [0.0], np.float16)[:, None]
+    idxs = {}
+
+    def decode_vals(s, n):
+        v = val_sections[s][:n]
+        vals = np.empty((7, n), np.float16)
+        vals[:6] = _DEQUANT_LUT[v[:, :6]].T
+        vals[6] = np.ascontiguousarray(v[:, 6:8]).view(np.float16)[:, 0]
+        return vals
+
     for s in range(S):
         n = int(n_occ[s])
         if n > caps[s]:
             raise SparseOverflow(
                 f'split {s}: {n} occupied cells > sparse cap {caps[s]}')
-        occ = np.unpackbits(masks[s]).astype(bool)
-        v = val_sections[s][:n]
-        for c in range(6):
-            flat = np.full(P * P, empty_vals[c], np.float16)
-            flat[occ] = _DEQUANT_LUT[v[:, c]]
-            stack[s * 7 + c] = flat.reshape(P, P)
-        elev = np.zeros(P * P, np.float16)
-        elev[occ] = np.ascontiguousarray(v[:, 6:8]).view(np.float16)[:, 0]
-        stack[s * 7 + 6] = elev.reshape(P, P)
-    return stack
+        # One integer-index scatter for all 7 channels at once (boolean
+        # fancy-assignment per channel measured ~3x slower; this decode
+        # runs per sample on the host and was ~30% of the e2e budget).
+        s_occ = min(s, n_masks - 1)
+        if s_occ not in idxs:
+            idxs[s_occ] = np.flatnonzero(np.unpackbits(masks[s_occ]))
+        if s == 2:
+            stack[2] = stack[0]           # full starts as a present copy
+        else:
+            stack[s] = empty7
+        stack[s, :, idxs[s_occ]] = decode_vals(s, n).T
+    return stack.reshape(S * 7, P, P)
 
 
 def decode_dense_words(raw, gen_future, pixel_size):

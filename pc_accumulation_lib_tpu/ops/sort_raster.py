@@ -123,10 +123,17 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
     # costs ~2x on the main sort (measured on v5e). The XLA fallback reads
     # the min as the segment-start element, which NEEDS z as a secondary
     # key.
-    # All the small-integer per-point features (road/dyn flags and, with
-    # hist_medians, the clipped u8 rgb) ride the sort as ONE packed int32
-    # payload and are unpacked with vector ops afterwards — sort operand
-    # bytes are the raster's dominant cost, and the packing is bit-exact.
+    # ALL per-point features ride the sort as TWO packed int32 payloads
+    # (sort operand bytes are the raster's dominant cost):
+    #   word1: road/dyn flags + (with hist_medians) the clipped u8 rgb —
+    #     bit-exact;
+    #   word2: z as float16 bits + road-intensity as u16. Rounding z to
+    #     f16 BEFORE the min commutes with the min (round-to-nearest is
+    #     monotone), and the shipped elevation channel is float16 anyway,
+    #     so the f16 OUTPUT stays bit-exact. Intensity (reference range
+    #     [0,1]: raw KITTI .bin floats / nuScenes u8/255) quantizes to
+    #     1/65535 — ~2e-5 on the per-cell mean, within the 2e-3 on-chip
+    #     parity gate even after the ~100x road-marking sigmoid gain.
     if pallas_ok:
         packed = ((road_f.astype(jnp.int32) << 25)
                   | (dyn_f.astype(jnp.int32) << 24))
@@ -134,9 +141,17 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
             r8, g8, b8 = (jnp.clip(rgb[:, ch], 0., 255.).astype(jnp.int32)
                           for ch in range(3))
             packed = packed | (r8 << 16) | (g8 << 8) | b8
-        sorted_ops = jax.lax.sort(
-            (c2, z.astype(jnp.float32), int_road, packed), num_keys=1)
-        s_c2, s_z, s_int, s_packed = sorted_ops
+        z16 = jax.lax.bitcast_convert_type(
+            z.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+        i16 = jnp.round(jnp.clip(int_road, 0., 1.) * 65535.0
+                        ).astype(jnp.int32)
+        packed2 = (z16 << 16) | i16
+        sorted_ops = jax.lax.sort((c2, packed, packed2), num_keys=1)
+        s_c2, s_packed, s_p2 = sorted_ops
+        s_z = jax.lax.bitcast_convert_type(
+            ((s_p2 >> 16) & 0xFFFF).astype(jnp.uint16),
+            jnp.float16).astype(jnp.float32)
+        s_int = (s_p2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
         s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
         s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
     else:

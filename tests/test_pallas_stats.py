@@ -69,8 +69,16 @@ def test_sort_raster_pallas_matches_xla(rng):
                                        rgb, sem, use_pallas=True,
                                        pallas_interpret=True, **kw)
     for k in a:
-        np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
-                                   atol=2e-4, err_msg=k)
+        if k.startswith('elevation'):
+            # The Pallas path ships z as float16 sort-payload bits; f16
+            # rounding commutes with min, so the f16 OUTPUT contract
+            # (bev/core casts the stack to f16) is exact.
+            np.testing.assert_array_equal(
+                np.asarray(b[k]).astype(np.float16),
+                np.asarray(a[k]).astype(np.float16), err_msg=k)
+        else:
+            np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
+                                       atol=2e-4, err_msg=k)
 
 
 def test_hist_medians_match_sort_medians(rng):
