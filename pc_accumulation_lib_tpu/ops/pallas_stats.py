@@ -144,22 +144,51 @@ def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
         valid = in_len & (local >= 0) & (local < WIN)
         onehot = (local[:, None] == col_ids) & valid[:, None]  # (C, K)
 
+        # Per-group z-min WITHOUT a (C, K) masked-min (that select +
+        # reduce pair was ~25% of the loop's VPU work): keys are sorted,
+        # so each group is a contiguous run — a segmented prefix-min
+        # scan (log2(C) lane-rolls) leaves the run min at each run's
+        # LAST element, and the per-group extraction rides the sums
+        # matmul as two extra rows (boundary indicator b has exactly one
+        # 1 per present group, so sum(min*b) IS that group's chunk-min).
+        z2 = wt_buf[slot, W_PAD - 1, :][None, :]           # (1, C)
+        s2 = local[None, :]
+        v2 = valid[None, :]
+        m2 = jnp.where(v2, z2, jnp.inf)
+        p2 = row_pos[None, :]
+        k = 1
+        while k < B:
+            same = (pltpu.roll(s2, shift=k, axis=1) == s2) & (p2 >= k)
+            m2 = jnp.where(same,
+                           jnp.minimum(m2, pltpu.roll(m2, shift=k, axis=1)),
+                           m2)
+            k *= 2
+        nxt = B - 1  # roll by size-1 == peek at position p+1
+        # (roll the valid mask as i32 — Mosaic has no 1-bit rotate)
+        vi = v2.astype(jnp.int32)
+        last = ((pltpu.roll(s2, shift=nxt, axis=1) != s2)
+                | (pltpu.roll(vi, shift=nxt, axis=1) == 0)
+                | (p2 == B - 1))
+        b2 = (v2 & last).astype(jnp.float32)               # (1, C)
+        minb = jnp.where(b2 > 0, m2, 0.0)
+
         # precision=HIGHEST: the default MXU path truncates the f32
         # weight operand to bf16, which skews the intensity sums by ~0.4%
         # (the road-marking sigmoid then amplifies that up to ~100x —
         # caught by `bench.py --selftest` on the real chip). The one-hot
-        # operand is exact in bf16 either way; the pass stays DMA-bound.
+        # operand is exact in bf16 either way; rows 4/5 carry the scan
+        # min and boundary count (single nonzero term per group — exact).
+        lhs = jnp.concatenate(
+            [wt_buf[slot, :4, :], minb, b2,
+             jnp.zeros((W_PAD - 6, B), jnp.float32)], axis=0)
         acc = jax.lax.dot_general(
-            wt_buf[slot], onehot.astype(jnp.float32),
+            lhs, onehot.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)           # (W_PAD, K)
         sum_ref[0] += acc
-
-        z = wt_buf[slot, W_PAD - 1, :]                     # z row
-        zmask = jnp.where(onehot, z[:, None], jnp.inf)     # (C, K)
-        min_ref[0, 0, :] = jnp.minimum(min_ref[0, 0, :],
-                                       jnp.min(zmask, axis=0))
+        min_ref[0, 0, :] = jnp.minimum(
+            min_ref[0, 0, :], jnp.where(acc[5] > 0.5, acc[4], jnp.inf))
 
         if hist_ref is not None:
             # Per-group 256-bin value histograms for each med row (rgb

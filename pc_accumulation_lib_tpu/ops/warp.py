@@ -85,8 +85,14 @@ def warp_dense_maps_np(maps, a_1, a_2, b_1, b_2):
                        + _np.float32(a2) * k * k).astype(_np.int32)
         return _np.clip(src, 0, n - 1)
 
-    return _np.take(_np.take(maps, idx_map(b_1, b_2, n_rows), axis=-2),
-                    idx_map(a_1, a_2, n_cols), axis=-1)
+    # One flat gather instead of two per-axis takes: this runs per sample
+    # on the (single-core) host, and each take copies the full stack.
+    ri = idx_map(b_1, b_2, n_rows)
+    ci = idx_map(a_1, a_2, n_cols)
+    flat = (ri[:, None] * n_cols + ci[None, :]).reshape(-1)
+    lead = maps.shape[:-2]
+    out = maps.reshape(lead + (n_rows * n_cols,))[..., flat]
+    return out.reshape(lead + (n_rows, n_cols))
 
 
 def _inverse_quadratic(x, a_1, a_2):
