@@ -245,11 +245,12 @@ def main():
                       int_scaler=20., int_sep_scaler=20.,
                       int_mid_threshold=0.5, height_filter=None,
                       # Pre-warp occupancy peaks per split: present ~15.5k,
-                      # future ~8.5k, full ~15.5k (bench prints observed
-                      # maxima); an undersized cap silently falls back to
-                      # quantized-dense fetches (1.57 MB vs ~0.36 MB/sample)
-                      # — predictable per-split caps beat stochastic
-                      # fallbacks.
+                      # future ~8.5k (bench prints observed maxima; the
+                      # 'full' split ships as a delta on the FUTURE
+                      # occupancy, so its cap entry is unused). An
+                      # undersized cap falls back to word-dense fetches
+                      # (1.57 MB vs ~0.30 MB/sample) — predictable caps
+                      # beat stochastic fallbacks.
                       fetch_dtype='sparse',
                       sparse_cap=(16384, 9216, 16384))
     bevs_per_sample = 16

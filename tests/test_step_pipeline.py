@@ -228,3 +228,28 @@ def test_step_async_fetch_matches_sync():
                 continue
             np.testing.assert_array_equal(np.asarray(b_sync[0][k]),
                                           np.asarray(b_async[0][k]))
+
+
+def test_step_no_aug_falls_back_to_classic_heading_aligned():
+    """With augmentation off, step() must route through the classic
+    integrate()+generate_bev() path (heading-aligned rotation needs host
+    poses at dispatch — ADVICE r2 #2) and match it exactly."""
+    frames = _frames()
+    a_cls, a_new = _make_accum(seed=4), _make_accum(seed=4)
+    for a in (a_cls, a_new):
+        a.sem_bev_generator.max_trans_radius = 0.0
+        a.sem_bev_generator.zoom_thresh = 0.0
+        a.sem_bev_generator.do_warp = False
+        assert not a.sem_bev_generator.do_aug
+    a_cls.integrate([frames[0]])
+    a_new.integrate([frames[0]])
+    for i in range(1, 5):
+        a_cls.integrate([frames[i]])
+        b_cls = a_cls.generate_bev(present_idx=len(a_cls.poses) - 2,
+                                   bev_num=1, gen_future=True)[0]
+        b_new = a_new.step([frames[i]], bev_num=1, gen_future=True)[0]
+        for k in b_cls:
+            if k.startswith('trajs'):
+                continue
+            np.testing.assert_array_equal(np.asarray(b_cls[k]),
+                                          np.asarray(b_new[k]), err_msg=k)
