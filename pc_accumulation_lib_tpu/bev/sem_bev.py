@@ -108,6 +108,9 @@ class SemBEVGenerator:
         self.sparse_overflows = 0
         self.max_occupied = 0
         self.max_occupied_split = [0, 0, 0]
+        # Last finalize's harvest split: per-group transfer waits vs total
+        # decode/assemble CPU seconds (tools/profile_harvest.py).
+        self.last_harvest = None
         # Decodes run on a small thread pool (generate_samples_device);
         # unlocked read-modify-write would drop counter updates.
         import threading
@@ -331,23 +334,38 @@ class SemBEVGenerator:
             # Decode + host-warp + assemble (~5 ms numpy each, GIL mostly
             # released) runs on side threads UNDER the next group's
             # transfer wait instead of extending the critical path.
+            import time as _time
             from concurrent.futures import ThreadPoolExecutor
+            waits, work_s = [], [0.0]
 
             def work(o, draw, raw):
+                t0 = _time.perf_counter()
                 rot_ang, dx, dy, zoom, w = draw
-                return self._assemble(
+                r = self._assemble(
                     self._fetch_stack(o, gen_future, w, raw=raw), trajs,
                     rot_ang, dx, dy, zoom * self.view_size, w, gen_future)
+                work_s[0] += _time.perf_counter() - t0
+                return r
 
+            t_wall = _time.perf_counter()
             with ThreadPoolExecutor(max_workers=2) as ex:
                 futs = []
                 for g0 in range(0, n_samples, fetch_group):
+                    t0 = _time.perf_counter()
                     raws = (np.asarray(groups[g0 // fetch_group])
                             if groups else None)
+                    waits.append(_time.perf_counter() - t0)
                     for j in range(g0, min(g0 + fetch_group, n_samples)):
                         raw = None if raws is None else raws[j - g0]
                         futs.append(ex.submit(work, outs[j], draws[j], raw))
-                return [f.result() for f in futs]
+                res = [f.result() for f in futs]
+            # Telemetry for the harvest profiler (tools/profile_harvest.py):
+            # per-group transfer waits vs total decode/assemble CPU time.
+            with self._telemetry_lock:
+                self.last_harvest = dict(
+                    waits=waits, work_s=work_s[0],
+                    wall_s=_time.perf_counter() - t_wall)
+            return res
 
         return finalize
 
