@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pc_accumulation_lib_tpu import config as cfg
-from pc_accumulation_lib_tpu.bev import core
+from pc_accumulation_lib_tpu.bev import core, native_decode
 from pc_accumulation_lib_tpu.ops import trajectory as traj_ops
 from pc_accumulation_lib_tpu.ops import warp as warp_ops
 
@@ -398,6 +398,13 @@ class SemBEVGenerator:
                     self.max_occupied_split[i] = max(
                         self.max_occupied_split[i], int(n_occs[i]))
             try:
+                if native_decode.available():
+                    # Fused decode + warp in one native pass, GIL
+                    # released (native/bevdec.cpp); bit-identical to the
+                    # numpy path below (tests/test_fetch.py).
+                    return native_decode.decode_sparse_warp(
+                        raw, gen_future, self.pixel_size, self.sparse_cap,
+                        self._sparse_empty, w)
                 stack = core.decode_sparse_stack(
                     raw, gen_future, self.pixel_size, self.sparse_cap,
                     self._sparse_empty)

@@ -39,7 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 # on TPU, so each chunk read is aligned down and over-fetched by ALIGN.
 CHUNK = 1024
 ALIGN = 128
-WIN = 512
+# Window of consecutive groups per grid step. The histogram matmuls'
+# MXU work scales with WIN at fixed total chunk count (hist acc is
+# (N_BINS, WIN) per chunk), while the median-finalize cumsum work is
+# WIN-invariant (num_windows x (N_BINS, WIN) = const) — so smaller
+# windows win until per-window DMA round-up dominates (~1 CHUNK per
+# window): measured on v5e at bench shape (905k live rows, 131072
+# groups): WIN 512 -> 13.8 ms, 256 -> 8.8, 128 -> 6.8, and the
+# round-up crossover is below 128 (avg points/window ~884 < CHUNK).
+WIN = 128
 W_PAD = 8  # weight rows padded to the f32 sublane tile
 N_BINS = 256  # u8 value histogram bins (rgb medians)
 N_MED = 3    # median value rows (r, g, b)
@@ -80,7 +88,7 @@ def _median_ranks(cum, lens):
 
 
 def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
-            *rest, n_pad, med_rows=(), med_nsplit=0):
+            *rest, n_pad, med_rows=(), med_nsplit=0, CHUNK=CHUNK, WIN=WIN):
     if med_rows:
         (med_ref, hist_ref, key_buf, wt_buf, key_sem, wt_sem) = rest
     else:
@@ -233,9 +241,11 @@ def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('num_groups', 'interpret',
-                                             'med_rows', 'med_nsplit'))
+                                             'med_rows', 'med_nsplit',
+                                             'chunk', 'win'))
 def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
-                 interpret=False, med_rows=(), med_nsplit=0):
+                 interpret=False, med_rows=(), med_nsplit=0, chunk=None,
+                 win=None):
     """Per-group sums and z-min (and optional exact u8-value medians) over
     sorted keys.
 
@@ -259,33 +269,36 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
     (len(med_rows), 2, num_groups) — [:, 0] per-group medians, [:, 1]
     'full' medians at even group positions]).
     """
-    assert num_groups % WIN == 0
-    num_windows = num_groups // WIN
+    CHUNK_ = CHUNK if chunk is None else chunk
+    WIN_ = WIN if win is None else win
+    assert num_groups % WIN_ == 0
+    num_windows = num_groups // WIN_
     n_pad = sorted_keys.shape[1]
     n_med = len(med_rows)
     out_specs = [
-        pl.BlockSpec((1, W_PAD, WIN), lambda w, *_: (w, 0, 0),
+        pl.BlockSpec((1, W_PAD, WIN_), lambda w, *_: (w, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, WIN), lambda w, *_: (w, 0, 0),
+        pl.BlockSpec((1, 1, WIN_), lambda w, *_: (w, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((num_windows, W_PAD, WIN), jnp.float32),
-        jax.ShapeDtypeStruct((num_windows, 1, WIN), jnp.float32),
+        jax.ShapeDtypeStruct((num_windows, W_PAD, WIN_), jnp.float32),
+        jax.ShapeDtypeStruct((num_windows, 1, WIN_), jnp.float32),
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, 1, CHUNK + ALIGN), jnp.int32),
-        pltpu.VMEM((2, W_PAD, CHUNK + ALIGN), jnp.float32),
+        pltpu.VMEM((2, 1, CHUNK_ + ALIGN), jnp.int32),
+        pltpu.VMEM((2, W_PAD, CHUNK_ + ALIGN), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if n_med:
         out_specs.append(
-            pl.BlockSpec((1, n_med, 2, WIN), lambda w, *_: (w, 0, 0, 0),
+            pl.BlockSpec((1, n_med, 2, WIN_), lambda w, *_: (w, 0, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
-            jax.ShapeDtypeStruct((num_windows, n_med, 2, WIN), jnp.float32))
-        scratch_shapes.insert(0, pltpu.VMEM((n_med, N_BINS, WIN),
+            jax.ShapeDtypeStruct((num_windows, n_med, 2, WIN_),
+                                 jnp.float32))
+        scratch_shapes.insert(0, pltpu.VMEM((n_med, N_BINS, WIN_),
                                             jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -299,7 +312,7 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
     )
     outs = pl.pallas_call(
         functools.partial(_kernel, n_pad=n_pad, med_rows=med_rows,
-                          med_nsplit=med_nsplit),
+                          med_nsplit=med_nsplit, CHUNK=CHUNK_, WIN=WIN_),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -314,16 +327,18 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
     return sums, mins, meds
 
 
-def window_boundaries(sorted_keys_1d, num_groups):
+def window_boundaries(sorted_keys_1d, num_groups, win=None):
     """Coarse per-window point ranges: one searchsorted with
     num_groups/WIN queries (vs per-group queries in the XLA path)."""
-    q = jnp.arange(0, num_groups + 1, WIN, dtype=jnp.int32)
+    q = jnp.arange(0, num_groups + 1, WIN if win is None else win,
+                   dtype=jnp.int32)
     bounds = jnp.searchsorted(sorted_keys_1d, q).astype(jnp.int32)
     return bounds[:-1], bounds[1:] - bounds[:-1]
 
 
 def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
-                    interpret=False, value_rows=(), med_nsplit=1):
+                    interpret=False, value_rows=(), med_nsplit=1,
+                    chunk=None, win=None):
     """Convenience wrapper: per-group sums for each row in ``weight_rows``
     (list of (N,) f32 aligned with the sorted keys; row 0 must be the
     all-ones count row when value_rows is used) and per-group z-min;
@@ -336,7 +351,8 @@ def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
     med_nsplit == 2), valid at even positions].
     """
     n = sorted_keys_1d.shape[0]
-    n_pad = ((n + CHUNK - 1) // CHUNK + 2) * CHUNK
+    chunk_ = CHUNK if chunk is None else chunk
+    n_pad = ((n + chunk_ - 1) // chunk_ + 2) * chunk_
     pad = n_pad - n
     keys = jnp.pad(sorted_keys_1d.astype(jnp.int32), (0, pad),
                    constant_values=num_groups)[None, :]
@@ -350,10 +366,11 @@ def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
     for i, v in zip(med_rows, vals):
         wt = wt.at[i, :n].set(v.astype(jnp.float32))
     wt = wt.at[W_PAD - 1, :n].set(z_sorted.astype(jnp.float32))
-    ws, wl = window_boundaries(keys[0, :n], num_groups)
+    ws, wl = window_boundaries(keys[0, :n], num_groups, win=win)
     out = window_stats(keys, wt, ws, wl, num_groups, interpret=interpret,
                        med_rows=med_rows,
-                       med_nsplit=med_nsplit if vals else 0)
+                       med_nsplit=med_nsplit if vals else 0,
+                       chunk=chunk, win=win)
     if not vals:
         sums, zmin = out
         return sums[:, :len(rows)], zmin

@@ -130,3 +130,71 @@ def test_async_fetch_defers_and_matches(rng):
                 continue
             np.testing.assert_array_equal(np.asarray(a[k]),
                                           np.asarray(b[k]))
+
+
+def test_native_decode_bit_parity_with_numpy(rng):
+    """native/bevdec.cpp fused decode+warp must be BIT-identical to the
+    numpy path (core.decode_sparse_stack + warp_dense_maps_np) on random
+    sparse buffers, including the full-delta reconstruction and the
+    no-warp and S=1 layouts."""
+    from pc_accumulation_lib_tpu.bev import native_decode
+    from pc_accumulation_lib_tpu.ops import warp as warp_ops
+    if not native_decode.available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    empty = core.sparse_empty_values(20., 20., 0.5, 0)
+    for P, caps, gen_future, warp_on in [
+            (64, (512, 256, 512), True, True),
+            (64, (512, 256, 512), True, False),
+            (64, (512, 256, 512), False, True),
+            (128, (4096, 2048, 4096), True, True)]:
+        S = 3 if gen_future else 1
+        rcaps = core.resolve_sparse_caps(caps)[:S]
+        occ_p = rng.random(P * P) < 0.10
+        occ_f = rng.random(P * P) < 0.05
+        if S == 3:
+            masks = [np.packbits(occ_p.astype(np.uint8)),
+                     np.packbits(occ_f.astype(np.uint8))]
+            nv = [rcaps[0], rcaps[1], rcaps[1]]
+            n_occ = np.array([occ_p.sum(), occ_f.sum(), occ_f.sum()],
+                             np.int32)
+        else:
+            masks = [np.packbits(occ_p.astype(np.uint8))]
+            nv = [rcaps[0]]
+            n_occ = np.array([occ_p.sum()], np.int32)
+        vals = [rng.integers(0, 256, (n, 8), dtype=np.uint8).reshape(-1)
+                for n in nv]
+        raw = np.concatenate(masks + vals + [n_occ.view(np.uint8)])
+        if warp_on:
+            a1, a2 = warp_ops.cal_warp_params(P // 2 + 10, P // 2, P - 1)
+            b1, b2 = warp_ops.cal_warp_params(P // 2 - 8, P // 2, P - 1)
+            w = dict(a1=a1, a2=a2, b1=b1, b2=b2, active=True)
+        else:
+            w = dict(a1=1., a2=0., b1=1., b2=0., active=False)
+        ref = core.decode_sparse_stack(raw, gen_future, P, caps, empty)
+        if w['active']:
+            ref = warp_ops.warp_dense_maps_np(ref, w['a1'], w['a2'],
+                                              w['b1'], w['b2'])
+        got = native_decode.decode_sparse_warp(raw, gen_future, P, caps,
+                                               empty, w)
+        np.testing.assert_array_equal(ref.view(np.uint16),
+                                      got.view(np.uint16))
+
+
+def test_native_decode_overflow_and_malformed(rng):
+    from pc_accumulation_lib_tpu.bev import native_decode
+    if not native_decode.available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    import pytest
+    P, caps = 64, (512, 256, 512)
+    empty = core.sparse_empty_values(20., 20., 0.5, 0)
+    masks = [np.zeros(P * P // 8, np.uint8)] * 2
+    vals = [np.zeros(n * 8, np.uint8) for n in (512, 256, 256)]
+    n_occ = np.array([600, 0, 0], np.int32)  # > cap0
+    raw = np.concatenate(masks + vals + [n_occ.view(np.uint8)])
+    with pytest.raises(core.SparseOverflow):
+        native_decode.decode_sparse_warp(raw, True, P, caps, empty, None)
+    with pytest.raises(ValueError):
+        native_decode.decode_sparse_warp(raw[:-1], True, P, caps, empty,
+                                         None)

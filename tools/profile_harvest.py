@@ -67,6 +67,8 @@ def main():
     futs = deque()
     t0 = time.perf_counter()
     n = 0
+    cpu_prev = time.process_time()
+    wall_prev = time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as ex:
         for i in range(warmup, n_frames):
             td = time.perf_counter()
@@ -80,10 +82,14 @@ def main():
                 n += len(f.result())
                 wait = time.perf_counter() - tw
                 h = gen.last_harvest
+                cpu_now, wall_now = time.process_time(), time.perf_counter()
                 print(f'step {j}: dispatch {d*1e3:6.1f} ms | main-wait '
                       f'{wait*1e3:6.1f} | finalize wall {h["wall_s"]*1e3:6.1f}'
                       f' | group waits {[round(w*1e3,1) for w in h["waits"]]}'
-                      f' | work {h["work_s"]*1e3:6.1f} ms')
+                      f' | work {h["work_s"]*1e3:6.1f} ms'
+                      f' | step CPU {(cpu_now-cpu_prev)*1e3:6.1f}'
+                      f' / wall {(wall_now-wall_prev)*1e3:6.1f} ms')
+                cpu_prev, wall_prev = cpu_now, wall_now
         while futs:
             j, d, f = futs.popleft()
             n += len(f.result())
