@@ -232,8 +232,15 @@ def main():
     # (~13 ms per M rows measured), so the painted cap is sized to the
     # observed 37.7k peak painted/frame with ~8% margin; the overflow guard
     # raises rather than dropping points if a frame exceeds it.
+    # compact_cap: once-per-step live-window compaction (DMA block copies,
+    # accum/buffer.compact_window) — each of the 16 per-sample rasters then
+    # sweeps 966k rows instead of the full 26*40960=1.065M ring (dead slots
+    # + per-frame padding). Sized above the observed 939k peak live rows (~25-frame window at
+    # ~37.5k painted); the overflow guard raises and
+    # max_live_rows is printed below — keep the cap above it.
     accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=26,
-                                max_painted_points_per_frame=40960)
+                                max_painted_points_per_frame=40960,
+                                compact_cap=966656)
     icp_cfg = cfg.ICPConfig(max_downsampled=4096, num_iters=16)
     # Random rotate/translate/zoom + polynomial warp augmentation: each
     # sample yields bevs_per_sample distinct BEVs (BASELINE config 5).
@@ -340,6 +347,8 @@ def main():
     print(f'sparse fetch: max {gen.max_occupied} occupied cells '
           f'(per split {gen.max_occupied_split}, cap {gen.sparse_cap}), '
           f'{gen.sparse_overflows} dense fallbacks', file=sys.stderr)
+    print(f'compaction: max {accum.max_live_rows} live rows '
+          f'(cap {accum.accum_cfg.compact_cap})', file=sys.stderr)
     result = {
         'metric': 'e2e_bev_samples_per_sec_per_chip',
         'value': round(samples_per_sec, 3),

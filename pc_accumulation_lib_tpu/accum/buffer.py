@@ -91,6 +91,49 @@ def compact_rows(painted, valid, cap_out):
     return out, valid_out, n_valid
 
 
+@functools.partial(jax.jit, static_argnames=('cap_out',))
+def compact_window(state: BufferState, wmin, cap_out: int):
+    """Compact the live-window rows of the ring buffer into one dense
+    prefix, once per step, so every per-sample raster sweeps ``cap_out``
+    rows instead of F*N (raster cost is ~linear in rows; dead frame slots
+    and per-frame padding are pure overhead 16x over on the
+    bevs_per_sample fast path, accum/kitti360.step).
+
+    No sort and no per-element gather (XLA scatter/gather run ~1e8 elem/s
+    on TPU): each slot's valid rows already form a PREFIX (insert_frame
+    stores compact_rows output), so compaction is F sequential
+    dynamic_update_slice block copies at HBM copy speed — each live
+    slot's full block lands at the running offset, and the next block
+    overwrites the previous one's padding tail. Dead slots are parked in
+    the [cap_out, cap_out+N) slack so they never touch live rows.
+
+    Returns (points (cap_out, D), frame_ids (cap_out,), valid (cap_out,),
+    n_live). Callers MUST check n_live <= cap_out (overflowing rows are
+    silently parked in the slack region — correctness requires the raise,
+    same contract as compact_rows/painted_cap).
+    """
+    F, N, D = state.points.shape
+    counts = jnp.sum(state.valid, axis=1).astype(jnp.int32)        # (F,)
+    live = (state.frame_ids >= wmin) & (state.frame_ids >= 0)      # (F,)
+    out_p = jnp.zeros((cap_out + N, D), jnp.float32)
+    out_f = jnp.full((cap_out + N,), -1, jnp.int32)
+
+    def body(i, carry):
+        out_p, out_f, off = carry
+        # Dead slots (and overflow spill) write into the slack region.
+        off_w = jnp.where(live[i], jnp.minimum(off, cap_out), cap_out)
+        blk = jax.lax.dynamic_slice(state.points, (i, 0, 0), (1, N, D))[0]
+        out_p = jax.lax.dynamic_update_slice(out_p, blk, (off_w, 0))
+        out_f = jax.lax.dynamic_update_slice(
+            out_f, jnp.full((N,), state.frame_ids[i], jnp.int32), (off_w,))
+        return out_p, out_f, off + jnp.where(live[i], counts[i], 0)
+
+    out_p, out_f, n_live = jax.lax.fori_loop(
+        0, F, body, (out_p, out_f, jnp.int32(0)))
+    valid = jnp.arange(cap_out) < n_live
+    return out_p[:cap_out], out_f[:cap_out], valid, n_live
+
+
 @functools.partial(jax.jit, static_argnames=('filters',))
 def paint_frame_camera(pc, valid, rgb_img, semseg, P_velo_frame,
                        T_world_velo, filters):

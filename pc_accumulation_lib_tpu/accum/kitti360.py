@@ -131,6 +131,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._seg_ring_dev = None
         self._ws_dev = None
         self._pose_vec_dev = None    # (22,) pose-dependent raster params
+        self.max_live_rows = 0       # compact_window telemetry (step())
         self.transfer_dtype = transfer_dtype
         self._fused = self._build_fused_step()
 
@@ -402,10 +403,32 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             return finalize_classic if async_fetch else finalize_classic()
         handles = [self._dispatch_obs(obs) for obs in observations]
         pose_vec = self._pose_vec_dev
-        f, n, d = self.state.points.shape
-        flat_pts = self.state.points.reshape(f * n, d)
-        flat_valid = self.state.valid.reshape(f * n)
-        pt_fids = jnp.repeat(self.state.frame_ids, n)
+        ccap = self.accum_cfg.compact_cap
+        n_live = None
+        if ccap:
+            # Once-per-step live-window compaction: every per-sample raster
+            # below sweeps ccap rows instead of max_frames * painted_cap
+            # (raster cost ~13 ms per M rows on v5e — dead slots and
+            # per-frame padding are pure overhead x bev_num).
+            flat_pts, pt_fids, flat_valid, n_live = buffer.compact_window(
+                self.state, self._ws_dev, ccap)
+            try:
+                n_live.copy_to_host_async()
+            except Exception:
+                pass
+        else:
+            f, n, d = self.state.points.shape
+            flat_pts = self.state.points.reshape(f * n, d)
+            flat_valid = self.state.valid.reshape(f * n)
+            pt_fids = jnp.repeat(self.state.frame_ids, n)
+        prepped = None
+        if gen._prepped_ok:
+            # Hoist the aug-invariant per-point raster work (world->ref
+            # transform, class masks, dyn partition, packed sort payloads)
+            # to ONCE per step instead of once per augmented sample
+            # (bev/core.make_prep_fn).
+            prepped = gen.prep_points(flat_pts, self.state.inst_dyn,
+                                      pose_vec)
 
         def trajs_fn():
             # Runs inside finalize, after the integrate fetch has synced
@@ -425,7 +448,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
 
         bev_handle = gen.generate_samples_device(
             flat_pts, flat_valid, pt_fids, self.state.inst_dyn, pose_vec,
-            bev_num, gen_future, trajs_fn)
+            bev_num, gen_future, trajs_fn, prepped=prepped)
 
         def finalize():
             for h in handles:
@@ -433,6 +456,14 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 if len(self.poses) > 1:
                     print(f'    #pc {len(self.poses)} |',
                           f'path length {path_length:.2f}')
+            if n_live is not None:
+                nl = int(np.asarray(n_live))
+                self.max_live_rows = max(self.max_live_rows, nl)
+                if nl > ccap:
+                    raise RuntimeError(
+                        f'Live-window overflow: {nl} live buffer rows > '
+                        f'compact_cap={ccap}; raise AccumConfig.compact_cap '
+                        '(points must not be silently dropped).')
             return bev_handle()
 
         return finalize if async_fetch else finalize()

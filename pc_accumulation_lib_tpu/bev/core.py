@@ -188,14 +188,9 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                 cells, base_m, ~present_m, z, inten, rgb, sem, sem_idxs,
                 P, gen_future, rgb_fill=rgb_fill, use_pallas=use_pallas,
                 hist_medians=hist_medians)
-            stack = []
-            for name in meta:
-                stack += [chs[f'road_{name}'], chs[f'intensity_{name}'],
-                          chs[f'rgb_{name}'][0], chs[f'rgb_{name}'][1],
-                          chs[f'rgb_{name}'][2], chs[f'dynamic_{name}'],
-                          chs[f'elevation_{name}']]
-            if pack == 'sparse':
-                stack += [chs[f'count_{name}'] for name in meta]
+            return _emit_outputs(chs, meta, pack, params, P, view_size,
+                                 int_scaler, int_sep_scaler,
+                                 int_mid_threshold, sparse_cap)
         else:
             splits = {'present': static_m & present_m}
             if gen_future:
@@ -230,6 +225,129 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
             return dense
         counts = maps[len(meta) * len(_SPLIT_CHANNELS):]
         return sparse_outputs(dense, counts, P, sparse_cap, len(meta))
+
+    return jax.jit(raster, static_argnames=('gen_future',))
+
+
+def _emit_outputs(chs, meta, pack, params, P, view_size, int_scaler,
+                  int_sep_scaler, int_mid_threshold, sparse_cap):
+    """Shared raster tail: channel-dict -> transfer encoding (stack +
+    optional device warp + road-marking finalize + sparse pack)."""
+    stack = []
+    for name in meta:
+        stack += [chs[f'road_{name}'], chs[f'intensity_{name}'],
+                  chs[f'rgb_{name}'][0], chs[f'rgb_{name}'][1],
+                  chs[f'rgb_{name}'][2], chs[f'dynamic_{name}'],
+                  chs[f'elevation_{name}']]
+    if pack == 'sparse':
+        stack += [chs[f'count_{name}'] for name in meta]
+    maps = jnp.stack([m.reshape(P, P) for m in stack])
+    if pack != 'sparse':
+        # Sparse mode ships PRE-warp maps: the warp is a pure reindexing
+        # (two axis takes) that commutes with every later elementwise op,
+        # and warp duplication inflates the occupied-cell count ~1.5x — so
+        # the host applies it after decode (ops/warp.warp_dense_maps_np)
+        # and the sparse fetch stays at pre-warp occupancy.
+        maps = warp_ops.warp_dense_maps(maps, params.warp_a1, params.warp_a2,
+                                        params.warp_b1, params.warp_b2)
+    dense = finalize_dense(maps, len(meta), int_scaler, int_sep_scaler,
+                           int_mid_threshold)
+    if pack != 'sparse':
+        return dense
+    counts = maps[len(meta) * len(_SPLIT_CHANNELS):]
+    return sparse_outputs(dense, counts, P, sparse_cap, len(meta))
+
+
+def make_prep_fn(sem_idxs):
+    """Once-per-step point preprocessing for the accum.step() fast path.
+
+    Everything the per-sample raster does that is AUGMENTATION-INVARIANT
+    is hoisted here and computed once per step instead of bevs_per_sample
+    times: the world->BEV-reference rigid transform (the random aug is
+    in-plane rot/trans and the zoom scales the VIEW, so transformed z and
+    every per-point feature are shared by all samples), the road/dyn-class
+    masks, the tracked-dynamic partition (inst_dyn table lookup), and the
+    two packed int32 sort-payload words (ops/sort_raster.pack_payload_words
+    + the dyn_eff partition bit 26).
+
+    Returns (ref_xyz (N,3) f32, packed (N,) i32, packed2 (N,) i32) for
+    make_prepped_raster_fn. Reference semantics anchor: the same per-point
+    pipeline as make_raster_fn (sem_pc_accum.py:323-415 painting columns,
+    sem_bev.py:54-58 static/dynamic partition).
+    """
+    sem_idxs = dict(sem_idxs)
+
+    def prep(points, inst_dyn, pose_vec):
+        from pc_accumulation_lib_tpu.ops import sort_raster
+        T_ref_world = pose_vec[:16].reshape(4, 4)
+        bev_coords = pose_vec[16:19]
+        ref = geo.homo_transform(T_ref_world, points[:, :3]) - bev_coords
+        sem = points[:, cfg.PT_SEM]
+        road_f = ras.sem_class_mask(
+            sem, [sem_idxs['road']]).astype(jnp.float32)
+        dyn_f = ras.sem_class_mask(
+            sem, [sem_idxs[nm] for nm in cfg.DYN_OBJ_CLASSES]
+        ).astype(jnp.float32)
+        int_road = points[:, cfg.PT_I].astype(jnp.float32) * road_f
+        rgb = points[:, cfg.PT_R:cfg.PT_B + 1]
+        packed, packed2 = sort_raster.pack_payload_words(
+            road_f, dyn_f, rgb, int_road, ref[:, 2])
+        inst = jnp.clip(points[:, cfg.PT_INST].astype(jnp.int32), 0,
+                        inst_dyn.shape[0] - 1)
+        dyn_eff = jnp.maximum(points[:, cfg.PT_DYN], inst_dyn[inst])
+        packed = packed | ((dyn_eff == 1.0).astype(jnp.int32) << 26)
+        return ref, packed, packed2
+
+    return jax.jit(prep)
+
+
+def make_prepped_raster_fn(view_size, pixel_size, int_scaler, int_sep_scaler,
+                           int_mid_threshold, rgb_fill=0, pack=None,
+                           sparse_cap=None, hist_medians=True,
+                           pallas_interpret=False):
+    """Per-sample raster over make_prep_fn outputs (accum.step fast path).
+
+    Identical outputs to make_raster_fn's sort+Pallas path (pinned by
+    tests/test_step_pipeline.py and the on-chip `bench.py --selftest`
+    part 2), but the per-sample work is only what actually depends on the
+    augmentation draw: the in-plane rotate/translate, the view crop/height
+    masks, the cell ids, the 3-operand main sort and the segmented-stats
+    kernel. Requires the Pallas kernel (real TPU or interpret mode).
+    """
+    P = pixel_size
+    if sparse_cap is None:
+        sparse_cap = default_sparse_cap(P)
+
+    def raster(ref_xyz, valid, pt_frame_ids, packed, packed2, pv_aug,
+               gen_future):
+        pose_vec, aug9 = pv_aug
+        aug9 = jnp.asarray(aug9, jnp.float32)
+        rot_ang, dx, dy, zoom = aug9[0], aug9[1], aug9[2], aug9[3]
+        params = unpack_params(jnp.concatenate([pose_vec, aug9]))
+        t = geo.geometric_transform(ref_xyz, rot_ang, dx, dy)
+        aug_view = zoom * view_size
+        in_window = ((pt_frame_ids >= params.window_min)
+                     & (pt_frame_ids <= params.window_max))
+        m = valid & in_window & geo.crop_view_mask(t, aug_view)
+        m &= t[:, 2] < params.height_thresh
+        static_m = m & (((packed >> 26) & 1) == 0)
+        grid = geo.pos2grid(t[:, :2], aug_view, P)
+        cells = geo.grid_cell_index(grid[:, 0], grid[:, 1], P)
+        cells = jnp.clip(cells, 0, P * P - 1)
+        present_m = pt_frame_ids < params.present_frame
+        nsplit = 2 if gen_future else 1
+        sent = P * P * nsplit
+        base_m = static_m if gen_future else (static_m & present_m)
+        isf = (~present_m).astype(jnp.int32) if gen_future else 0
+        c2 = jnp.where(base_m, cells * nsplit + isf, sent)
+        from pc_accumulation_lib_tpu.ops import sort_raster
+        chs = sort_raster.split_stats_from_packed(
+            c2, packed, packed2, P, gen_future, rgb_fill=rgb_fill,
+            pallas_interpret=pallas_interpret, hist_medians=hist_medians)
+        meta = ['present', 'future', 'full'] if gen_future else ['present']
+        return _emit_outputs(chs, meta, pack, params, P, view_size,
+                             int_scaler, int_sep_scaler, int_mid_threshold,
+                             sparse_cap)
 
     return jax.jit(raster, static_argnames=('gen_future',))
 

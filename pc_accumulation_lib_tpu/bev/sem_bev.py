@@ -131,6 +131,40 @@ class SemBEVGenerator:
                 int_sep_scaler, int_mid_threshold, rgb_fill,
                 pack='sparse' if fetch_dtype == 'sparse' else None,
                 sparse_cap=self.sparse_cap)
+        # accum.step() fast-path split raster (core.make_prep_fn +
+        # make_prepped_raster_fn): aug-invariant per-point work hoisted to
+        # once per step. None = auto (real TPU, Pallas-compatible P);
+        # tests force True with _prep_interpret for CPU coverage.
+        self.use_prepped_raster: Optional[bool] = None
+        self._prep_interpret = False
+        self._prep_fn = None
+        self._raster_prepped = None
+
+    @property
+    def _prepped_ok(self) -> bool:
+        if self._mesh is not None:
+            return False
+        if self.use_prepped_raster is not None:
+            return self.use_prepped_raster
+        import jax as _jax
+        return (_jax.default_backend() == 'tpu'
+                and (self.pixel_size ** 2) % 512 == 0)
+
+    def prep_points(self, points, inst_dyn, pose_vec):
+        """Once-per-step aug-invariant point prep (core.make_prep_fn)."""
+        if self._prep_fn is None:
+            self._prep_fn = core.make_prep_fn(self.sem_idxs)
+        return self._prep_fn(points, inst_dyn, pose_vec)
+
+    def _get_prepped_raster(self):
+        if self._raster_prepped is None:
+            self._raster_prepped = core.make_prepped_raster_fn(
+                self.view_size, self.pixel_size, self.int_scaler,
+                self.int_sep_scaler, self.int_mid_threshold, self.rgb_fill,
+                pack='sparse' if self.fetch_dtype == 'sparse' else None,
+                sparse_cap=self.sparse_cap,
+                pallas_interpret=self._prep_interpret)
+        return self._raster_prepped
 
     # ------------------------------------------------------------------
     # Augmentation parameter draws (host RNG)
@@ -250,7 +284,8 @@ class SemBEVGenerator:
 
     def generate_samples_device(self, points, valid, pt_frame_ids, inst_dyn,
                                 pose_vec, n_samples: int, gen_future: bool,
-                                trajs_fn, fetch_group: int = 4):
+                                trajs_fn, fetch_group: int = 4,
+                                prepped=None):
         """Like generate_samples, but the pose-dependent half of the raster
         params (T_ref_world, bev_coords, window — RasterParams fields 0..21)
         arrives as a DEVICE vector ``pose_vec`` threaded from the
@@ -291,6 +326,8 @@ class SemBEVGenerator:
                 'is heading-aligned and needs host poses at dispatch. '
                 'Use integrate() + generate_bev().')
         hf = np.inf if self.height_filter is None else self.height_filter
+        raster_prepped = (self._get_prepped_raster()
+                          if prepped is not None else None)
         draws, outs = [], []
         for _ in range(n_samples):
             rot_ang, dx, dy, zoom = self._draw_geom_aug()
@@ -301,8 +338,15 @@ class SemBEVGenerator:
             draws.append((rot_ang, dx, dy, zoom, w))
             # Tuple form: the pose_vec||aug concat happens inside the
             # raster jit (one dispatch per sample instead of two).
-            outs.append(self._raster(points, valid, pt_frame_ids, inst_dyn,
-                                     (pose_vec, aug9), gen_future))
+            if prepped is not None:
+                ref_xyz, packed, packed2 = prepped
+                outs.append(raster_prepped(ref_xyz, valid, pt_frame_ids,
+                                           packed, packed2,
+                                           (pose_vec, aug9), gen_future))
+            else:
+                outs.append(self._raster(points, valid, pt_frame_ids,
+                                         inst_dyn, (pose_vec, aug9),
+                                         gen_future))
         outs = self._encode_outs(outs)
         # Group the per-sample fetch buffers into few device arrays: each
         # device->host fetch costs a ~30 ms turnaround on the remote-TPU

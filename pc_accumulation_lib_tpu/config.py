@@ -89,6 +89,13 @@ class AccumConfig:
     # sweep); sizes the accumulation buffer the raster sweeps. None =
     # max_points_per_frame (safe for the GT-semantics path).
     max_painted_points_per_frame: Optional[int] = None
+    # Live-window row capacity for the once-per-step buffer compaction on
+    # the accum.step() fast path (accum/buffer.compact_window): every
+    # per-sample raster then sweeps this many rows instead of
+    # max_frames * painted_cap. Size it above the observed peak live-row
+    # count (the overflow guard raises, points are never dropped
+    # silently); None disables compaction.
+    compact_cap: Optional[int] = None
 
     @property
     def painted_cap(self) -> int:

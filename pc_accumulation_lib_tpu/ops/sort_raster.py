@@ -83,6 +83,142 @@ def _medians_from_kernel(meds, lens, n_cells, nsplit, rgb_fill):
     return out
 
 
+def _per_split_with_full(vecs, n_cells, gen_future):
+    """Map each (sent,) vector to {present[,future,full]} dicts; 'full' is
+    derived present (+/min) future — the adds for counts/sums, the min for
+    elevation (reshape-and-reduce, free)."""
+    reds = (jnp.add, jnp.add, jnp.add, jnp.add, jnp.minimum)
+
+    def per_split(vec):
+        if not gen_future:
+            return {'present': vec}
+        m = vec.reshape(n_cells, 2)
+        return {'present': m[:, 0], 'future': m[:, 1]}
+
+    out = []
+    for vec, red in zip(vecs, reds):
+        d = per_split(vec)
+        if gen_future:
+            d['full'] = red(d['present'], d['future'])
+        out.append(d)
+    return tuple(out)
+
+
+def pack_payload_words(road_f, dyn_f, rgb, int_road, z):
+    """Pack ALL per-point sort payloads into TWO int32 words (sort operand
+    bytes are the raster's dominant cost; the main sort is then 1-key +
+    2 payloads):
+
+      word1: road/dyn flags (bits 25/24) + the clipped u8 rgb in bits
+        23..0 — bit-exact;
+      word2: z as float16 bits + road-intensity as u16. Rounding z to f16
+        BEFORE the min commutes with the min (round-to-nearest is
+        monotone), and the shipped elevation channel is float16 anyway, so
+        the f16 OUTPUT stays bit-exact. Intensity (reference range [0,1]:
+        raw KITTI .bin floats / nuScenes u8/255) quantizes to 1/65535 —
+        ~2e-5 on the per-cell mean, within the 2e-3 on-chip parity gate
+        even after the ~100x road-marking sigmoid gain.
+
+    These words are augmentation-invariant on the accum.step() fast path
+    (z is untouched by the in-plane rot/trans and the zoom scales the VIEW,
+    not the points — bev/core.make_raster_fn), so callers may hoist this
+    packing out of the per-sample rasters (core.make_prep_fn).
+    """
+    packed = ((road_f.astype(jnp.int32) << 25)
+              | (dyn_f.astype(jnp.int32) << 24))
+    r8, g8, b8 = (jnp.clip(rgb[:, ch], 0., 255.).astype(jnp.int32)
+                  for ch in range(3))
+    packed = packed | (r8 << 16) | (g8 << 8) | b8
+    z16 = jax.lax.bitcast_convert_type(
+        z.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+    i16 = jnp.round(jnp.clip(int_road, 0., 1.) * 65535.0).astype(jnp.int32)
+    return packed, (z16 << 16) | i16
+
+
+def split_stats_from_packed(c2, packed, packed2, pixel_size, gen_future,
+                            rgb_fill=0, pallas_interpret=False,
+                            hist_medians=True):
+    """Pallas-kernel split stats from pre-packed payload words.
+
+    The 1-key sort (a 2-key comparator costs ~2x on the main sort,
+    measured on v5e; the kernel's per-group min is order-independent so z
+    rides as payload) + one bandwidth-bound Pallas pass for every sum, the
+    z-min and (with hist_medians) the exact per-group rgb medians
+    (ops/pallas_stats.py) instead of cumsums + a per-group searchsorted +
+    6 median sorts.
+    """
+    P = pixel_size
+    n_cells = P * P
+    nsplit = 2 if gen_future else 1
+    sent = n_cells * nsplit
+    from pc_accumulation_lib_tpu.ops import pallas_stats
+    s_c2, s_packed, s_p2 = jax.lax.sort((c2, packed, packed2), num_keys=1)
+    s_z = jax.lax.bitcast_convert_type(
+        ((s_p2 >> 16) & 0xFFFF).astype(jnp.uint16),
+        jnp.float16).astype(jnp.float32)
+    s_int = (s_p2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
+    s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
+    s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
+    if hist_medians:
+        value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
+                      ((s_packed >> 8) & 255).astype(jnp.float32),
+                      (s_packed & 255).astype(jnp.float32)]
+    else:
+        value_rows = ()
+    st = pallas_stats.segmented_stats(
+        s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z, sent,
+        interpret=pallas_interpret, value_rows=value_rows,
+        med_nsplit=nsplit)
+    sums, zmin = st[0], st[1]
+    kmeds = st[2] if hist_medians else None
+    lens = sums[:, 0]
+    road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
+    zmin = jnp.where(lens > 0, zmin, jnp.inf)
+
+    lens_s, road_s, dyn_s, int_ss, zmin_s = _per_split_with_full(
+        (lens, road_c, dyn_c, int_s, zmin), n_cells, gen_future)
+
+    out = {}
+    if kmeds is not None:
+        med = _medians_from_kernel(kmeds, lens, n_cells, nsplit, rgb_fill)
+        for s in lens_s:
+            _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
+                        zmin_s[s], med[s], P)
+        return out
+
+    # No in-kernel medians: per-channel median sorts on the unpacked u8
+    # values (needs the rgb bytes in word1 regardless — callers always
+    # pack them; boundary table from the kernel's exact group sizes).
+    ends = jnp.cumsum(lens.astype(jnp.int32))
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    med = {s: [] for s in lens_s}
+    starts2 = starts.reshape(n_cells, nsplit)
+    ends2 = ends.reshape(n_cells, nsplit)
+    for ch, shift in enumerate((16, 8, 0)):
+        val = (packed >> shift) & 255
+        pf_sorted = jnp.sort(jnp.where(c2 < sent, c2 * 256 + val,
+                                       sent * 256))
+        med['present'].append(
+            _median_from_sorted(pf_sorted, starts2[:, 0],
+                                (ends2[:, 0] - starts2[:, 0]), rgb_fill))
+        if gen_future:
+            med['future'].append(
+                _median_from_sorted(pf_sorted, starts2[:, 1],
+                                    (ends2[:, 1] - starts2[:, 1]),
+                                    rgb_fill))
+            full_sorted = jnp.sort(jnp.where(c2 < sent,
+                                             (c2 // nsplit) * 256 + val,
+                                             n_cells * 256))
+            med['full'].append(
+                _median_from_sorted(full_sorted, starts2[:, 0],
+                                    (ends2[:, 1] - starts2[:, 0]),
+                                    rgb_fill))
+    for s in lens_s:
+        _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
+                    zmin_s[s], med[s], P)
+    return out
+
+
 def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
                        sem_idxs, pixel_size, gen_future, rgb_fill=0,
                        use_pallas=False, pallas_interpret=False,
@@ -135,96 +271,35 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
     #     1/65535 — ~2e-5 on the per-cell mean, within the 2e-3 on-chip
     #     parity gate even after the ~100x road-marking sigmoid gain.
     if pallas_ok:
-        packed = ((road_f.astype(jnp.int32) << 25)
-                  | (dyn_f.astype(jnp.int32) << 24))
-        if hist_ok:
-            r8, g8, b8 = (jnp.clip(rgb[:, ch], 0., 255.).astype(jnp.int32)
-                          for ch in range(3))
-            packed = packed | (r8 << 16) | (g8 << 8) | b8
-        z16 = jax.lax.bitcast_convert_type(
-            z.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
-        i16 = jnp.round(jnp.clip(int_road, 0., 1.) * 65535.0
-                        ).astype(jnp.int32)
-        packed2 = (z16 << 16) | i16
-        sorted_ops = jax.lax.sort((c2, packed, packed2), num_keys=1)
-        s_c2, s_packed, s_p2 = sorted_ops
-        s_z = jax.lax.bitcast_convert_type(
-            ((s_p2 >> 16) & 0xFFFF).astype(jnp.uint16),
-            jnp.float16).astype(jnp.float32)
-        s_int = (s_p2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
-        s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
-        s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
-    else:
-        sorted_ops = jax.lax.sort(
-            (c2, z.astype(jnp.float32), int_road, road_f, dyn_f),
-            num_keys=2)
-        s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
+        packed, packed2 = pack_payload_words(road_f, dyn_f, rgb,
+                                             int_road, z)
+        return split_stats_from_packed(
+            c2, packed, packed2, pixel_size, gen_future, rgb_fill=rgb_fill,
+            pallas_interpret=pallas_interpret, hist_medians=hist_ok)
 
-    kmeds = None
-    if pallas_ok:
-        # One bandwidth-bound Pallas pass for every sum + the z-min + (with
-        # hist_medians) the exact per-group rgb medians (ops/pallas_stats.py)
-        # instead of cumsums + a per-group searchsorted + 6 median sorts.
-        from pc_accumulation_lib_tpu.ops import pallas_stats
-        if hist_ok:
-            value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
-                          ((s_packed >> 8) & 255).astype(jnp.float32),
-                          (s_packed & 255).astype(jnp.float32)]
-        else:
-            value_rows = ()
-        st = pallas_stats.segmented_stats(
-            s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z, sent,
-            interpret=pallas_interpret, value_rows=value_rows,
-            med_nsplit=nsplit)
-        sums, zmin = st[0], st[1]
-        if hist_ok:
-            kmeds = st[2]
-        lens = sums[:, 0]
-        road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
-        ends = jnp.cumsum(lens.astype(jnp.int32))
-        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
-        zmin = jnp.where(lens > 0, zmin, jnp.inf)
-    else:
-        starts, ends = _boundaries(s_c2, sent)
-        lens = (ends - starts).astype(jnp.float32)          # (sent,)
-        # Per-group sums via segment_sum, NOT cumsum boundary differences:
-        # a global f32 cumsum reaches ~1e5 magnitude, so differencing it
-        # loses ~1e-2 absolute per group (catastrophic cancellation) —
-        # which the road-marking sigmoid then amplifies ~100x. Caught by
-        # `bench.py --selftest` against the (near-exact) Pallas kernel.
-        road_c = jax.ops.segment_sum(s_road, s_c2,
-                                     num_segments=sent + 1)[:sent]
-        dyn_c = jax.ops.segment_sum(s_dyn, s_c2,
-                                    num_segments=sent + 1)[:sent]
-        int_s = jax.ops.segment_sum(s_int, s_c2,
-                                    num_segments=sent + 1)[:sent]
-        n_total = s_c2.shape[0]
-        zmin = s_z[jnp.clip(starts, 0, n_total - 1)]
-        zmin = jnp.where(lens > 0, zmin, jnp.inf)
+    sorted_ops = jax.lax.sort(
+        (c2, z.astype(jnp.float32), int_road, road_f, dyn_f),
+        num_keys=2)
+    s_c2, s_z, s_int, s_road, s_dyn = sorted_ops
+    starts, ends = _boundaries(s_c2, sent)
+    lens = (ends - starts).astype(jnp.float32)          # (sent,)
+    # Per-group sums via segment_sum, NOT cumsum boundary differences:
+    # a global f32 cumsum reaches ~1e5 magnitude, so differencing it
+    # loses ~1e-2 absolute per group (catastrophic cancellation) —
+    # which the road-marking sigmoid then amplifies ~100x. Caught by
+    # `bench.py --selftest` against the (near-exact) Pallas kernel.
+    road_c = jax.ops.segment_sum(s_road, s_c2,
+                                 num_segments=sent + 1)[:sent]
+    dyn_c = jax.ops.segment_sum(s_dyn, s_c2,
+                                num_segments=sent + 1)[:sent]
+    int_s = jax.ops.segment_sum(s_int, s_c2,
+                                num_segments=sent + 1)[:sent]
+    n_total = s_c2.shape[0]
+    zmin = s_z[jnp.clip(starts, 0, n_total - 1)]
+    zmin = jnp.where(lens > 0, zmin, jnp.inf)
 
-    def per_split(vec):
-        """(sent,) -> dict split -> (P*P,)."""
-        if not gen_future:
-            return {'present': vec}
-        m = vec.reshape(n_cells, 2)
-        return {'present': m[:, 0], 'future': m[:, 1]}
-
-    lens_s, road_s = per_split(lens), per_split(road_c)
-    dyn_s, int_ss = per_split(dyn_c), per_split(int_s)
-    zmin_s = per_split(zmin)
-    if gen_future:
-        for d, red in ((lens_s, jnp.add), (road_s, jnp.add),
-                       (dyn_s, jnp.add), (int_ss, jnp.add),
-                       (zmin_s, jnp.minimum)):
-            d['full'] = red(d['present'], d['future'])
-
-    if kmeds is not None:
-        med = _medians_from_kernel(kmeds, lens, n_cells, nsplit, rgb_fill)
-        out = {}
-        for s in lens_s:
-            _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
-                        zmin_s[s], med[s], P)
-        return out
+    lens_s, road_s, dyn_s, int_ss, zmin_s = _per_split_with_full(
+        (lens, road_c, dyn_c, int_s, zmin), n_cells, gen_future)
 
     # Colour medians: packed single-key sorts; boundary table reused.
     med = {s: [] for s in lens_s}

@@ -253,3 +253,138 @@ def test_step_no_aug_falls_back_to_classic_heading_aligned():
                 continue
             np.testing.assert_array_equal(np.asarray(b_cls[k]),
                                           np.asarray(b_new[k]), err_msg=k)
+
+
+def test_compact_window_unit():
+    """accum/buffer.compact_window: live-window rows land in one dense
+    prefix as an exact multiset (order-free), dead/stale slots are
+    excluded, and n_live counts every live row even past cap_out."""
+    import jax.numpy as jnp
+
+    from pc_accumulation_lib_tpu.accum import buffer
+
+    F, N, D = 4, 16, 10
+    rng = np.random.default_rng(0)
+    pts = np.zeros((F, N, D), np.float32)
+    valid = np.zeros((F, N), bool)
+    counts = [5, 0, 7, 3]          # slot 1 is an empty (dead) slot
+    fids = np.asarray([4, -1, 5, 2], np.int32)   # slot 3 evicted (fid < ws)
+    for f in range(F):
+        pts[f, :counts[f]] = rng.normal(size=(counts[f], D))
+        pts[f, counts[f]:] = np.nan          # padding garbage must not leak
+        valid[f, :counts[f]] = True
+    state = buffer.BufferState(points=jnp.asarray(pts),
+                               valid=jnp.asarray(valid),
+                               frame_ids=jnp.asarray(fids),
+                               inst_dyn=jnp.zeros((4,), jnp.float32))
+    cap = 32
+    cpts, cfids, cvalid, n_live = buffer.compact_window(state, jnp.int32(3),
+                                                        cap)
+    assert int(n_live) == 12                  # slots 0 (5) + 2 (7)
+    cvalid = np.asarray(cvalid)
+    assert cvalid.sum() == 12 and cvalid[:12].all()
+    got = np.asarray(cpts)[:12]
+    want = np.concatenate([pts[0, :5], pts[2, :7]])
+    # Row order within the window is unspecified -> compare as multisets.
+    got_sorted = got[np.lexsort(got.T)]
+    want_sorted = want[np.lexsort(want.T)]
+    np.testing.assert_array_equal(got_sorted, want_sorted)
+    f_got = np.sort(np.asarray(cfids)[:12])
+    np.testing.assert_array_equal(f_got, np.sort([4] * 5 + [5] * 7))
+    assert not np.isnan(got).any()
+
+    # Overflow: cap below the live count still reports the true n_live.
+    _, _, _, n_ovf = buffer.compact_window(state, jnp.int32(3), 8)
+    assert int(n_ovf) == 12
+
+
+def test_step_with_compaction_matches_classic():
+    """step() with AccumConfig.compact_cap must equal the classic
+    integrate()+generate_bev() path. Counts/probmaps/medians/elevation are
+    order-independent (exact); intensity means see f32 addition-order
+    noise only."""
+    frames = _frames()
+    a_cls = _make_accum(seed=7)
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                 p_velo_frame=P_cam_frame @ H_velo_cam)
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=8192, max_frames=10,
+                                max_painted_points_per_frame=8192,
+                                compact_cap=49152)
+    a_cmp = Kitti360SemanticPointCloudAccumulator(
+        HORIZON, calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
+        cfg.DEFAULT_SEM_IDXS, True,
+        dict(type='sem', view_size=40, pixel_size=64, max_trans_radius=2.0,
+             zoom_thresh=0.05, do_warp=True, int_scaler=20.,
+             int_sep_scaler=20., int_mid_threshold=0.5),
+        accum_cfg=accum_cfg,
+        icp_cfg=cfg.ICPConfig(max_downsampled=512, num_iters=8), seed=7)
+    a_cls.integrate([frames[0]])
+    a_cmp.integrate([frames[0]])
+    evicted = False
+    for i in range(1, N_FRAMES):
+        a_cls.integrate([frames[i]])
+        bevs_c = a_cls.generate_bev(present_idx=len(a_cls.poses) - 2,
+                                    bev_num=2, gen_future=True)
+        bevs_n = a_cmp.step([frames[i]], bev_num=2, gen_future=True)
+        assert a_cls.window_start == a_cmp.window_start
+        evicted |= a_cls.window_start > 0
+        for bc, bn in zip(bevs_c, bevs_n):
+            for k in bc:
+                if k.startswith('trajs') or k == 'gt_lanes':
+                    continue
+                mism = np.mean(np.abs(np.asarray(bc[k], np.float32)
+                                      - np.asarray(bn[k], np.float32))
+                               > 2e-2)
+                assert mism < 0.02, (k, mism)
+    assert evicted, 'horizon eviction never triggered — config broken'
+    assert 0 < a_cmp.max_live_rows <= 49152
+
+
+def test_step_compaction_overflow_raises():
+    frames = _frames()
+    H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+    calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                 p_velo_frame=P_cam_frame @ H_velo_cam)
+    accum_cfg = cfg.AccumConfig(max_points_per_frame=8192, max_frames=10,
+                                max_painted_points_per_frame=8192,
+                                compact_cap=64)   # absurdly small
+    a = Kitti360SemanticPointCloudAccumulator(
+        HORIZON, calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
+        cfg.DEFAULT_SEM_IDXS, True,
+        dict(type='sem', view_size=40, pixel_size=64, max_trans_radius=2.0,
+             zoom_thresh=0.05, do_warp=True, int_scaler=20.,
+             int_sep_scaler=20., int_mid_threshold=0.5),
+        accum_cfg=accum_cfg,
+        icp_cfg=cfg.ICPConfig(max_downsampled=512, num_iters=8), seed=0)
+    a.integrate([frames[0]])
+    with pytest.raises(RuntimeError, match='compact_cap'):
+        a.step([frames[1]], bev_num=1, gen_future=True)
+
+
+def test_step_prepped_raster_matches_classic():
+    """The split prep + prepped-raster fast path (core.make_prep_fn +
+    make_prepped_raster_fn, forced on with interpret-mode Pallas) must
+    equal the classic step path sample for sample."""
+    frames = _frames()
+    a_cls = _make_accum(seed=11)     # classic full raster per sample
+    a_pre = _make_accum(seed=11)     # prepped fast path
+    gen = a_pre.sem_bev_generator
+    gen.use_prepped_raster = True
+    gen._prep_interpret = True
+    a_cls.integrate([frames[0]])
+    a_pre.integrate([frames[0]])
+    for i in range(1, 6):
+        bevs_c = a_cls.step([frames[i]], bev_num=2, gen_future=True)
+        bevs_p = a_pre.step([frames[i]], bev_num=2, gen_future=True)
+        for bc, bp in zip(bevs_c, bevs_p):
+            for k in bc:
+                if k.startswith('trajs') or k == 'gt_lanes':
+                    continue
+                # Classic CPU path uses the XLA (2-key sort) formulation;
+                # the prepped path uses the packed Pallas formulation —
+                # intensity differs by the u16 payload quantization, all
+                # other channels by f16-stack rounding only.
+                np.testing.assert_allclose(
+                    np.asarray(bc[k], np.float32),
+                    np.asarray(bp[k], np.float32), atol=2e-3, err_msg=k)
