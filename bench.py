@@ -253,13 +253,13 @@ def main():
                       int_mid_threshold=0.5, height_filter=None,
                       # Pre-warp occupancy peaks per split: present ~15.5k,
                       # future ~8.5k (bench prints observed maxima; the
-                      # 'full' split ships as a delta on the FUTURE
-                      # occupancy, so its cap entry is unused). An
-                      # undersized cap falls back to word-dense fetches
-                      # (1.57 MB vs ~0.30 MB/sample) — predictable caps
-                      # beat stochastic fallbacks.
+                      # 'full' split ships as a DELTA at present&future
+                      # OVERLAP cells only — caps are (present, future,
+                      # overlap)). An undersized cap falls back to
+                      # word-dense fetches (1.57 MB vs ~0.27 MB/sample) —
+                      # predictable caps beat stochastic fallbacks.
                       fetch_dtype='sparse',
-                      sparse_cap=(16384, 9216, 16384))
+                      sparse_cap=(16384, 9216, 9216))
     bevs_per_sample = 16
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(
@@ -344,8 +344,11 @@ def main():
     print(timer.report(), file=sys.stderr)
     print(f'total {dt:.3f}s for {n_samples} samples', file=sys.stderr)
     gen = accum.sem_bev_generator
+    mean_occ = [s // max(gen.n_occupied_obs, 1)
+                for s in gen.sum_occupied_split]
     print(f'sparse fetch: max {gen.max_occupied} occupied cells '
-          f'(per split {gen.max_occupied_split}, cap {gen.sparse_cap}), '
+          f'(per split {gen.max_occupied_split}, mean {mean_occ}, '
+          f'cap {gen.sparse_cap}), '
           f'{gen.sparse_overflows} dense fallbacks', file=sys.stderr)
     print(f'compaction: max {accum.max_live_rows} live rows '
           f'(cap {accum.accum_cfg.compact_cap})', file=sys.stderr)

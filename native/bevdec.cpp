@@ -52,7 +52,9 @@ extern "C" {
 //   raw_len   : its length in bytes (layout cross-check)
 //   P         : pixel size (square maps)
 //   S         : 1 (present only) or 3 (present/future/full-delta)
-//   cap0,cap1 : present / future value-row capacities (full rides cap1)
+//   cap0,cap1 : present / future value-row capacities
+//   cap2      : full-delta capacity (cells occupied in BOTH present and
+//               future; elsewhere full is rebuilt from present/future)
 //   lut       : 256-entry u8->f16(x/255) table (numpy-computed)
 //   empty     : 7 f16 bit patterns for un-occupied cells
 //               [road, intensity, r, g, b, dyn, elevation]
@@ -64,13 +66,13 @@ extern "C" {
 // count exceeds its capacity (caller falls back to the dense fetch); -1 on
 // a malformed buffer length.
 int bevdec_decode(const uint8_t* raw, long raw_len, int P, int S, int cap0,
-                  int cap1, const uint16_t* lut, const uint16_t* empty,
-                  const int32_t* row_src, const int32_t* col_src,
-                  uint16_t* out) {
+                  int cap1, int cap2, const uint16_t* lut,
+                  const uint16_t* empty, const int32_t* row_src,
+                  const int32_t* col_src, uint16_t* out) {
   const int n_cells = P * P;
   const int n_mask = n_cells / 8;
   const int n_masks = (S == 3) ? 2 : S;
-  const int caps[3] = {cap0, cap1, cap1};
+  const int caps[3] = {cap0, cap1, cap2};
   long expect = (long)n_masks * n_mask + 8L * cap0 + 4L * S;
   for (int s = 1; s < S; ++s) expect += 8L * caps[s];
   if (raw_len != expect) return -1;
@@ -88,18 +90,26 @@ int bevdec_decode(const uint8_t* raw, long raw_len, int P, int S, int cap0,
     if (n_occ[s] > caps[s]) return s + 1;
   }
 
-  // Rank tables per occupancy mask (present, and future when S==3).
-  static thread_local int32_t* ranks[2] = {nullptr, nullptr};
+  // Rank tables: present, future, and (S==3) their overlap — the
+  // full-delta section's occupancy (bev/core.py _pack_sparse).
+  static thread_local int32_t* ranks[3] = {nullptr, nullptr, nullptr};
+  static thread_local uint8_t* ov_mask = nullptr;
   static thread_local int rank_cells = 0;
   if (rank_cells != n_cells) {
-    for (int m = 0; m < 2; ++m) {
+    for (int m = 0; m < 3; ++m) {
       delete[] ranks[m];
       ranks[m] = new int32_t[n_cells];
     }
+    delete[] ov_mask;
+    ov_mask = new uint8_t[n_mask];
     rank_cells = n_cells;
   }
   for (int m = 0; m < n_masks; ++m) {
     build_rank(masks + (long)m * n_mask, n_cells, ranks[m]);
+  }
+  if (S == 3) {
+    for (int b = 0; b < n_mask; ++b) ov_mask[b] = masks[b] & masks[n_mask + b];
+    build_rank(ov_mask, n_cells, ranks[2]);
   }
 
   // Flat warped source index per output pixel.
@@ -117,20 +127,25 @@ int bevdec_decode(const uint8_t* raw, long raw_len, int P, int S, int cap0,
   }
 
   for (int s = 0; s < S; ++s) {
-    const int32_t* rank = ranks[(s < n_masks) ? s : n_masks - 1];
+    const int32_t* rank = ranks[s];
     const uint8_t* v = vals[s];
     uint16_t* ch[7];
     for (int c = 0; c < 7; ++c) ch[c] = out + ((long)s * 7 + c) * n_cells;
     if (s == 2) {
-      // Full = present overwritten at future-occupied cells (delta
-      // encoding, bev/core.py _pack_sparse). The warp is a per-output-
-      // pixel gather, so the present half is a copy of split 0's already-
-      // warped planes at the same output pixel.
+      // Full split rebuild (delta encoding, bev/core.py _pack_sparse):
+      // present copy where future is empty, the FUTURE section's values
+      // at future-only cells (bit-exact: full = present (+) future stat
+      // combination), and the delta section at overlap cells. The warp
+      // is a per-output-pixel gather, so the present half is a copy of
+      // split 0's already-warped planes at the same output pixel.
       const uint16_t* p0 = out;
       for (int p = 0; p < n_cells; ++p) {
-        const int32_t r = rank[src[p]];
-        if (r >= 0) {
-          const uint8_t* row = v + 8L * r;
+        const int32_t q = src[p];
+        const int32_t rf = ranks[1][q];
+        if (rf >= 0) {
+          const int32_t ro = ranks[2][q];
+          const uint8_t* row =
+              (ro >= 0) ? (v + 8L * ro) : (vals[1] + 8L * rf);
           for (int c = 0; c < 6; ++c) ch[c][p] = lut[row[c]];
           ch[6][p] = (uint16_t)(row[6] | (row[7] << 8));
         } else {

@@ -387,10 +387,13 @@ def sparse_outputs(dense, counts, P, sparse_cap, n_splits):
 
 
 def resolve_sparse_caps(cap):
-    """int-or-tuple sparse cap -> (present, future, full) 3-tuple; slice
+    """int-or-tuple sparse cap -> (present, future, overlap) 3-tuple; slice
     [:n_splits] for the active split count. Per-split caps matter: the
     'future' split covers far fewer frames than present/full, so its
-    occupancy (and transfer share) is much smaller."""
+    occupancy (and transfer share) is much smaller — and the third entry
+    caps the FULL-DELTA section, whose occupancy (cells occupied in BOTH
+    present and future) is smaller still. An int cap applies to all three
+    (always safe: overlap <= future <= any shared cap)."""
     if isinstance(cap, (tuple, list)):
         if len(cap) != 3:
             raise ValueError(f'need (present, future, full) caps, got {cap}')
@@ -421,26 +424,31 @@ def _pack_sparse(words, counts, P, caps, S):
     Layout for S==1: [mask (P*P/8) | present values (caps[0],8) | n_occ].
     Layout for S==3 (present/future/full): [masks present+future
     (2*P*P/8) | present values (caps[0],8) | future values (caps[1],8) |
-    FULL-DELTA values (caps[1],8) | n_occ (3,) i32 bytes].
+    FULL-DELTA values (caps[2],8) | n_occ (3,) i32 bytes].
 
-    The 'full' split equals 'present' bit-exactly wherever the future
-    split has no points (counts add, mins combine, and the median of a
-    union with an empty set is unchanged), so full ships as a DELTA at
-    future-occupied cells only and needs no occupancy mask of its own —
-    ~15%% fewer bytes/sample at bench occupancy. Occupied cells are taken
-    in ascending cell order; the per-cell value bytes come from TWO word
-    gathers per split instead of seven channel gathers (see
-    _pack_channel_words; host inverse decode_sparse_stack)."""
+    The 'full' split is the present (+) future stat combination
+    (ops/sort_raster._per_split_with_full): it equals 'present'
+    bit-exactly wherever the future split has no points AND equals
+    'future' bit-exactly wherever the present split has none (counts add,
+    mins combine, and the median of a union with an empty set is
+    unchanged). So full ships as a DELTA at the cells occupied in BOTH
+    splits only — the host rebuilds the rest from the present/future
+    sections it already has — and needs no occupancy mask of its own.
+    Occupied cells are taken in ascending cell order; the per-cell value
+    bytes come from TWO word gathers per split instead of seven channel
+    gathers (see _pack_channel_words; host inverse decode_sparse_stack)."""
     n_cells = P * P
     bit_w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-    # (split for values, occupancy-source split, capacity)
+    # (split for values, occupancy-source index, capacity)
     if S == 3:
-        plan = [(0, 0, caps[0]), (1, 1, caps[1]), (2, 1, caps[1])]
-        mask_splits, nocc_srcs = (0, 1), (0, 1, 1)
+        plan = [(0, 0, caps[0]), (1, 1, caps[1]), (2, 2, caps[2])]
+        mask_splits, nocc_srcs = (0, 1), (0, 1, 2)
     else:
         plan = [(s, s, caps[s]) for s in range(S)]
         mask_splits, nocc_srcs = tuple(range(S)), tuple(range(S))
-    occs = [counts[s].reshape(-1) > 0 for s in range(S)]
+    occs = [counts[s].reshape(-1) > 0 for s in range(min(S, 2))]
+    if S == 3:
+        occs.append(occs[0] & occs[1])   # full-delta: overlap occupancy
     idxs = {}
     vals = []
     for s_val, s_occ, cap in plan:
@@ -478,14 +486,14 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
     """Host-side inverse of _pack_sparse for ONE sample: flat uint8 ->
     (S*7, P, P) float16 stack (unpack_maps layout). ``cap`` int or
     per-split tuple. Raises SparseOverflow when a split exceeded its cap
-    of occupied cells. With gen_future, the 'full' section is a delta on
-    the present stack at future-occupied cells (see _pack_sparse)."""
+    of occupied cells. With gen_future, the 'full' split is rebuilt as:
+    present copy, overwritten with the FUTURE section's values at
+    future-only cells (bit-exact — see _pack_sparse) and with the
+    full-delta section's values at present&future overlap cells."""
     S = 3 if gen_future else 1
     P = pixel_size
     caps = list(resolve_sparse_caps(cap)[:S])
     n_masks = 2 if S == 3 else S
-    if S == 3:
-        caps[2] = caps[1]     # full delta rides the future occupancy/cap
     n_mask = P * P // 8
     masks = raw[:n_masks * n_mask].reshape(n_masks, n_mask)
     val_sections = []
@@ -494,9 +502,15 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
         val_sections.append(raw[off:off + caps[s] * 8].reshape(caps[s], 8))
         off += caps[s] * 8
     n_occ = np.ascontiguousarray(raw[off:]).view(np.int32)
+    for s in range(S):
+        if int(n_occ[s]) > caps[s]:
+            raise SparseOverflow(
+                f'split {s}: {int(n_occ[s])} occupied cells > sparse cap '
+                f'{caps[s]}')
     stack = np.empty((S, 7, P * P), np.float16)
     empty7 = np.asarray(list(empty_vals) + [0.0], np.float16)[:, None]
-    idxs = {}
+    bits = [np.unpackbits(masks[m]).astype(bool) for m in range(n_masks)]
+    idxs = [np.flatnonzero(b) for b in bits]
 
     def decode_vals(s, n):
         v = val_sections[s][:n]
@@ -505,22 +519,21 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
         vals[6] = np.ascontiguousarray(v[:, 6:8]).view(np.float16)[:, 0]
         return vals
 
-    for s in range(S):
-        n = int(n_occ[s])
-        if n > caps[s]:
-            raise SparseOverflow(
-                f'split {s}: {n} occupied cells > sparse cap {caps[s]}')
+    fut_vals = None
+    for s in range(min(S, 2)):
         # One integer-index scatter for all 7 channels at once (boolean
         # fancy-assignment per channel measured ~3x slower; this decode
         # runs per sample on the host and was ~30% of the e2e budget).
-        s_occ = min(s, n_masks - 1)
-        if s_occ not in idxs:
-            idxs[s_occ] = np.flatnonzero(np.unpackbits(masks[s_occ]))
-        if s == 2:
-            stack[2] = stack[0]           # full starts as a present copy
-        else:
-            stack[s] = empty7
-        stack[s, :, idxs[s_occ]] = decode_vals(s, n).T
+        stack[s] = empty7
+        vals = decode_vals(s, int(n_occ[s]))
+        stack[s, :, idxs[s]] = vals.T
+        if s == 1:
+            fut_vals = vals
+    if S == 3:
+        stack[2] = stack[0]               # full starts as a present copy
+        both = bits[0][idxs[1]]           # overlap, in future-cell order
+        stack[2, :, idxs[1][~both]] = fut_vals[:, ~both].T
+        stack[2, :, idxs[1][both]] = decode_vals(2, int(n_occ[2])).T
     return stack.reshape(S * 7, P, P)
 
 

@@ -46,8 +46,9 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(so)
             lib.bevdec_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
             lib.bevdec_decode.restype = ctypes.c_int
             _lib = lib
         except Exception as e:  # toolchain-less host: numpy fallback
@@ -99,7 +100,8 @@ def decode_sparse_warp(raw: np.ndarray, gen_future: bool, pixel_size: int,
     out = np.empty((S * 7, P, P), np.float16)
     rc = lib.bevdec_decode(
         raw.ctypes.data, raw.nbytes, P, S, int(caps[0]),
-        int(caps[1]) if S == 3 else 0, lut.ctypes.data, empty.ctypes.data,
+        int(caps[1]) if S == 3 else 0, int(caps[2]) if S == 3 else 0,
+        lut.ctypes.data, empty.ctypes.data,
         row_src.ctypes.data, col_src.ctypes.data,
         out.ctypes.data_as(ctypes.c_void_p))
     if rc == 0:

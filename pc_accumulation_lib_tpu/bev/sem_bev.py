@@ -108,6 +108,10 @@ class SemBEVGenerator:
         self.sparse_overflows = 0
         self.max_occupied = 0
         self.max_occupied_split = [0, 0, 0]
+        # Mean per-split occupancy (sum/count): the cap-to-mean gap is the
+        # padding the fixed-shape sparse sections ship as dead bytes.
+        self.sum_occupied_split = [0, 0, 0]
+        self.n_occupied_obs = 0
         # Last finalize's harvest split: per-group transfer waits vs total
         # decode/assemble CPU seconds (tools/profile_harvest.py).
         self.last_harvest = None
@@ -438,9 +442,11 @@ class SemBEVGenerator:
             with self._telemetry_lock:
                 self.max_occupied = max(self.max_occupied,
                                         int(n_occs.max()))
+                self.n_occupied_obs += 1
                 for i in range(S):
                     self.max_occupied_split[i] = max(
                         self.max_occupied_split[i], int(n_occs[i]))
+                    self.sum_occupied_split[i] += int(n_occs[i])
             try:
                 if native_decode.available():
                     # Fused decode + warp in one native pass, GIL

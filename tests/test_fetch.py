@@ -155,9 +155,10 @@ def test_native_decode_bit_parity_with_numpy(rng):
         if S == 3:
             masks = [np.packbits(occ_p.astype(np.uint8)),
                      np.packbits(occ_f.astype(np.uint8))]
-            nv = [rcaps[0], rcaps[1], rcaps[1]]
-            n_occ = np.array([occ_p.sum(), occ_f.sum(), occ_f.sum()],
-                             np.int32)
+            nv = [rcaps[0], rcaps[1], rcaps[2]]
+            # Full-delta section occupancy = present & future overlap.
+            n_occ = np.array([occ_p.sum(), occ_f.sum(),
+                              (occ_p & occ_f).sum()], np.int32)
         else:
             masks = [np.packbits(occ_p.astype(np.uint8))]
             nv = [rcaps[0]]
@@ -190,7 +191,7 @@ def test_native_decode_overflow_and_malformed(rng):
     P, caps = 64, (512, 256, 512)
     empty = core.sparse_empty_values(20., 20., 0.5, 0)
     masks = [np.zeros(P * P // 8, np.uint8)] * 2
-    vals = [np.zeros(n * 8, np.uint8) for n in (512, 256, 256)]
+    vals = [np.zeros(n * 8, np.uint8) for n in (512, 256, 512)]
     n_occ = np.array([600, 0, 0], np.int32)  # > cap0
     raw = np.concatenate(masks + vals + [n_occ.view(np.uint8)])
     with pytest.raises(core.SparseOverflow):
