@@ -349,7 +349,9 @@ def main():
     print(f'sparse fetch: max {gen.max_occupied} occupied cells '
           f'(per split {gen.max_occupied_split}, mean {mean_occ}, '
           f'cap {gen.sparse_cap}), '
-          f'{gen.sparse_overflows} dense fallbacks', file=sys.stderr)
+          f'{gen.sparse_overflows} dense fallbacks, '
+          f'{gen.sparse_short_fetches} short fetches '
+          f'(adaptive hint {gen._fetch_hint_bytes} B)', file=sys.stderr)
     print(f'compaction: max {accum.max_live_rows} live rows '
           f'(cap {accum.accum_cfg.compact_cap})', file=sys.stderr)
     result = {

@@ -62,9 +62,14 @@ extern "C" {
 //   col_src   : P source column indices
 //   out       : caller-allocated S*7*P*P uint16 buffer
 //
+// Buffer layout (bev/core.py _pack_sparse): [masks | n_occ i32 x S padded
+// to 16 B | value sections packed contiguously by n_occ]. `raw` may be an
+// ADAPTIVE fetch truncated anywhere past the used bytes.
+//
 // Returns 0 on success; (split index + 1) when that split's occupied-cell
-// count exceeds its capacity (caller falls back to the dense fetch); -1 on
-// a malformed buffer length.
+// count exceeds its capacity (caller falls back to the dense fetch); -2
+// when the buffer is truncated below the used bytes (caller refetches the
+// full buffer); -1 on a buffer shorter than its own header.
 int bevdec_decode(const uint8_t* raw, long raw_len, int P, int S, int cap0,
                   int cap1, int cap2, const uint16_t* lut,
                   const uint16_t* empty, const int32_t* row_src,
@@ -73,22 +78,20 @@ int bevdec_decode(const uint8_t* raw, long raw_len, int P, int S, int cap0,
   const int n_mask = n_cells / 8;
   const int n_masks = (S == 3) ? 2 : S;
   const int caps[3] = {cap0, cap1, cap2};
-  long expect = (long)n_masks * n_mask + 8L * cap0 + 4L * S;
-  for (int s = 1; s < S; ++s) expect += 8L * caps[s];
-  if (raw_len != expect) return -1;
+  const long vb = (long)n_masks * n_mask + 16;
+  if (raw_len < vb) return -1;
 
   const uint8_t* masks = raw;
-  const uint8_t* vals[3];
-  long off = (long)n_masks * n_mask;
-  for (int s = 0; s < S; ++s) {
-    vals[s] = raw + off;
-    off += 8L * caps[s];
-  }
   int32_t n_occ[3];
-  std::memcpy(n_occ, raw + off, 4L * S);
+  std::memcpy(n_occ, raw + (long)n_masks * n_mask, 4L * S);
+  long used = vb;
+  const uint8_t* vals[3];
   for (int s = 0; s < S; ++s) {
-    if (n_occ[s] > caps[s]) return s + 1;
+    if (n_occ[s] < 0 || n_occ[s] > caps[s]) return s + 1;
+    vals[s] = raw + used;
+    used += 8L * n_occ[s];
   }
+  if (raw_len < used) return -2;
 
   // Rank tables: present, future, and (S==3) their overlap — the
   // full-delta section's occupancy (bev/core.py _pack_sparse).

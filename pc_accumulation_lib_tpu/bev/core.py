@@ -417,14 +417,45 @@ def _pack_channel_words(dense, S, n_cells):
     return jnp.stack([w0, w1], axis=-1)                       # (S, n, 2)
 
 
+def sparse_header_bytes(pixel_size: int, gen_future: bool) -> int:
+    """Byte length of the sparse buffer's fixed-size header: the occupancy
+    bitmask(s) followed by a 16-byte block holding the per-split occupied
+    counts (see _pack_sparse)."""
+    n_masks = 2 if gen_future else 1
+    return n_masks * pixel_size * pixel_size // 8 + 16
+
+
+def read_sparse_noccs(raw, pixel_size: int, gen_future: bool) -> np.ndarray:
+    """Per-split occupied-cell counts from a sparse buffer's header
+    (host-side; works on a truncated adaptive fetch too)."""
+    S = 3 if gen_future else 1
+    h = sparse_header_bytes(pixel_size, gen_future) - 16
+    return np.ascontiguousarray(raw[h:h + 4 * S]).view(np.int32)
+
+
+def sparse_used_bytes(raw, pixel_size: int, gen_future: bool) -> int:
+    """Bytes of a sparse buffer actually consumed by decode: header plus
+    8 bytes per occupied cell across sections (the rest is fixed-capacity
+    padding an adaptive fetch can skip)."""
+    noccs = read_sparse_noccs(raw, pixel_size, gen_future)
+    return (sparse_header_bytes(pixel_size, gen_future)
+            + 8 * int(noccs.sum()))
+
+
 def _pack_sparse(words, counts, P, caps, S):
     """Device-side sparse packing: (S, P*P, 2) int32 packed channel words
     + (S,P,P) counts -> flat uint8 buffer.
 
-    Layout for S==1: [mask (P*P/8) | present values (caps[0],8) | n_occ].
+    Layout for S==1: [mask (P*P/8) | n_occ i32 + pad to 16 B | present
+    values (n_occ rows x 8 B, in a (caps[0],8) region)].
     Layout for S==3 (present/future/full): [masks present+future
-    (2*P*P/8) | present values (caps[0],8) | future values (caps[1],8) |
-    FULL-DELTA values (caps[2],8) | n_occ (3,) i32 bytes].
+    (2*P*P/8) | n_occ (3,) i32 + pad to 16 B | present values | future
+    values | FULL-DELTA values], where the three value sections are
+    packed CONTIGUOUSLY by their actual occupied counts (present at row
+    0, future at row n0, delta at row n0+n1) inside a fixed
+    (caps[0]+caps[1]+caps[2], 8) region — everything past the used rows
+    is dead padding, so an adaptive fetch (sem_bev) ships only
+    header+used bytes instead of the cap-sized buffer.
 
     The 'full' split is the present (+) future stat combination
     (ops/sort_raster._per_split_with_full): it equals 'present'
@@ -449,25 +480,47 @@ def _pack_sparse(words, counts, P, caps, S):
     occs = [counts[s].reshape(-1) > 0 for s in range(min(S, 2))]
     if S == 3:
         occs.append(occs[0] & occs[1])   # full-delta: overlap occupancy
+    noccs = [occs[s].sum().astype(jnp.int32) for s in nocc_srcs]
     idxs = {}
-    vals = []
+    gathered = []
     for s_val, s_occ, cap in plan:
         if s_occ not in idxs:
             key = jnp.where(occs[s_occ],
                             jnp.arange(n_cells, dtype=jnp.int32), n_cells)
             idxs[s_occ] = jnp.argsort(key)
-        g = words[s_val][idxs[s_occ][:cap]]                  # (cap, 2)
-        vals.append(jax.lax.bitcast_convert_type(g, jnp.uint8).reshape(-1))
+        gathered.append(words[s_val][idxs[s_occ][:cap]])     # (cap, 2)
+    # Contiguous value region: later sections overwrite the previous
+    # section's cap padding (their own padding lands in the dead tail;
+    # offsets never exceed the region, so dynamic_update_slice can't
+    # clamp-shift a write onto live rows).
+    total_cap = sum(caps[:S])
+    region = jnp.concatenate(
+        [gathered[0],
+         jnp.zeros((total_cap - int(gathered[0].shape[0]), 2), jnp.int32)])
+    if S == 3:
+        region = jax.lax.dynamic_update_slice(region, gathered[1],
+                                              (noccs[0], 0))
+        region = jax.lax.dynamic_update_slice(region, gathered[2],
+                                              (noccs[0] + noccs[1], 0))
     masks = [(occs[s].reshape(-1, 8).astype(jnp.uint8)
               * bit_w).sum(axis=1).astype(jnp.uint8) for s in mask_splits]
-    noccs = jnp.stack([occs[s].sum().astype(jnp.int32) for s in nocc_srcs])
-    nb = jax.lax.bitcast_convert_type(noccs, jnp.uint8).reshape(-1)
-    return jnp.concatenate([jnp.concatenate(masks)] + vals + [nb])
+    nb = jax.lax.bitcast_convert_type(jnp.stack(noccs),
+                                      jnp.uint8).reshape(-1)
+    pad = jnp.zeros(16 - 4 * S, jnp.uint8)
+    return jnp.concatenate(
+        [jnp.concatenate(masks), nb, pad,
+         jax.lax.bitcast_convert_type(region, jnp.uint8).reshape(-1)])
 
 
 class SparseOverflow(Exception):
     """More occupied raster cells than the sparse fetch capacity — caller
     falls back to fetching the dense stack (correctness is never lost)."""
+
+
+class SparseShortFetch(Exception):
+    """An adaptive (truncated) fetch shipped fewer bytes than this
+    sample's occupied cells need — caller refetches the full buffer
+    (correctness is never lost; the hint adapts next step)."""
 
 
 def sparse_empty_values(int_scaler, int_sep_scaler, int_mid_threshold,
@@ -486,34 +539,38 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
     """Host-side inverse of _pack_sparse for ONE sample: flat uint8 ->
     (S*7, P, P) float16 stack (unpack_maps layout). ``cap`` int or
     per-split tuple. Raises SparseOverflow when a split exceeded its cap
-    of occupied cells. With gen_future, the 'full' split is rebuilt as:
-    present copy, overwritten with the FUTURE section's values at
-    future-only cells (bit-exact — see _pack_sparse) and with the
-    full-delta section's values at present&future overlap cells."""
+    of occupied cells, SparseShortFetch when ``raw`` is an adaptive fetch
+    truncated below this sample's used bytes. With gen_future, the 'full'
+    split is rebuilt as: present copy, overwritten with the FUTURE
+    section's values at future-only cells (bit-exact — see _pack_sparse)
+    and with the full-delta section's values at present&future overlap
+    cells."""
     S = 3 if gen_future else 1
     P = pixel_size
     caps = list(resolve_sparse_caps(cap)[:S])
     n_masks = 2 if S == 3 else S
     n_mask = P * P // 8
     masks = raw[:n_masks * n_mask].reshape(n_masks, n_mask)
-    val_sections = []
-    off = n_masks * n_mask
-    for s in range(S):
-        val_sections.append(raw[off:off + caps[s] * 8].reshape(caps[s], 8))
-        off += caps[s] * 8
-    n_occ = np.ascontiguousarray(raw[off:]).view(np.int32)
+    n_occ = read_sparse_noccs(raw, P, gen_future)
     for s in range(S):
         if int(n_occ[s]) > caps[s]:
             raise SparseOverflow(
                 f'split {s}: {int(n_occ[s])} occupied cells > sparse cap '
                 f'{caps[s]}')
+    vb = n_masks * n_mask + 16
+    need = vb + 8 * int(n_occ.sum())
+    if raw.shape[0] < need:
+        raise SparseShortFetch(
+            f'adaptive fetch shipped {raw.shape[0]} B < {need} B used')
+    offs = vb + 8 * np.concatenate([[0], np.cumsum(n_occ[:-1])])
     stack = np.empty((S, 7, P * P), np.float16)
     empty7 = np.asarray(list(empty_vals) + [0.0], np.float16)[:, None]
     bits = [np.unpackbits(masks[m]).astype(bool) for m in range(n_masks)]
     idxs = [np.flatnonzero(b) for b in bits]
 
-    def decode_vals(s, n):
-        v = val_sections[s][:n]
+    def decode_vals(s):
+        n = int(n_occ[s])
+        v = raw[offs[s]:offs[s] + 8 * n].reshape(n, 8)
         vals = np.empty((7, n), np.float16)
         vals[:6] = _DEQUANT_LUT[v[:, :6]].T
         vals[6] = np.ascontiguousarray(v[:, 6:8]).view(np.float16)[:, 0]
@@ -525,7 +582,7 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
         # fancy-assignment per channel measured ~3x slower; this decode
         # runs per sample on the host and was ~30% of the e2e budget).
         stack[s] = empty7
-        vals = decode_vals(s, int(n_occ[s]))
+        vals = decode_vals(s)
         stack[s, :, idxs[s]] = vals.T
         if s == 1:
             fut_vals = vals
@@ -533,7 +590,7 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
         stack[2] = stack[0]               # full starts as a present copy
         both = bits[0][idxs[1]]           # overlap, in future-cell order
         stack[2, :, idxs[1][~both]] = fut_vals[:, ~both].T
-        stack[2, :, idxs[1][both]] = decode_vals(2, int(n_occ[2])).T
+        stack[2, :, idxs[1][both]] = decode_vals(2).T
     return stack.reshape(S * 7, P, P)
 
 

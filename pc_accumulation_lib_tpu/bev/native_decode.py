@@ -85,8 +85,9 @@ def decode_sparse_warp(raw: np.ndarray, gen_future: bool, pixel_size: int,
                        cap, empty_vals, w=None) -> np.ndarray:
     """Fused native equivalent of core.decode_sparse_stack followed by
     warp_ops.warp_dense_maps_np. Raises core.SparseOverflow on capacity
-    overflow (caller falls back to the dense fetch), ValueError on a
-    malformed buffer."""
+    overflow (caller falls back to the dense fetch), core.SparseShortFetch
+    on a truncated adaptive fetch (caller refetches the full buffer),
+    ValueError on a malformed buffer."""
     lib = _load()
     assert lib is not None, 'call available() first'
     P = pixel_size
@@ -109,4 +110,7 @@ def decode_sparse_warp(raw: np.ndarray, gen_future: bool, pixel_size: int,
     if rc > 0:
         raise core.SparseOverflow(
             f'split {rc - 1}: occupied cells > sparse cap (native decode)')
+    if rc == -2:
+        raise core.SparseShortFetch(
+            f'adaptive fetch shipped {raw.nbytes} B < used (native decode)')
     raise ValueError(f'bevdec: malformed sparse buffer (len {raw.nbytes})')

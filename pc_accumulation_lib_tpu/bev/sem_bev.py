@@ -112,6 +112,16 @@ class SemBEVGenerator:
         # padding the fixed-shape sparse sections ship as dead bytes.
         self.sum_occupied_split = [0, 0, 0]
         self.n_occupied_obs = 0
+        # Adaptive sparse fetch: the value sections are packed by ACTUAL
+        # occupancy (bev/core._pack_sparse), so the fetch ships only
+        # header+used bytes (+15%, rounded to 32 KiB buckets so slice
+        # shapes stay few). The hint trails observed usage by ~a step; a
+        # sample that outgrows it raises SparseShortFetch and refetches
+        # its full buffer (counted below, correctness never lost).
+        self.sparse_short_fetches = 0
+        self._fetch_hint_bytes: Optional[int] = None
+        from collections import deque
+        self._used_bytes_window = deque(maxlen=64)
         # Last finalize's harvest split: per-group transfer waits vs total
         # decode/assemble CPU seconds (tools/profile_harvest.py).
         self.last_harvest = None
@@ -269,19 +279,20 @@ class SemBEVGenerator:
             self._raster(points, valid, pt_frame_ids, inst_dyn, pk,
                          gen_future) for pk in packed
         ])
-        for o in outs:
-            s = o[0] if isinstance(o, tuple) else o
-            try:
-                s.copy_to_host_async()
-            except Exception:  # e.g. committed multi-device (mesh) outputs
-                pass
+        fetch_bufs = [self._start_fetch(o[0] if isinstance(o, tuple) else o)
+                      for o in outs]
 
         def finalize() -> List[Dict]:
+            sparse = self.fetch_dtype == 'sparse'
             return [
-                self._assemble(self._fetch_stack(o, gen_future, w), trajs,
-                               rot_ang, dx, dy, zoom * self.view_size, w,
-                               gen_future)
-                for o, (rot_ang, dx, dy, zoom, w) in zip(outs, draws)
+                self._assemble(
+                    self._fetch_stack(
+                        o, gen_future, w,
+                        raw=np.asarray(fb) if sparse else None),
+                    trajs, rot_ang, dx, dy, zoom * self.view_size, w,
+                    gen_future)
+                for o, fb, (rot_ang, dx, dy, zoom, w)
+                in zip(outs, fetch_bufs, draws)
             ]
 
         return finalize if async_fetch else finalize()
@@ -359,15 +370,12 @@ class SemBEVGenerator:
         # fetches/step is the throughput wall, not bytes. One stack
         # dispatch per group, one fetch per group.
         groups = []
-        if self.fetch_dtype == 'sparse' and fetch_group > 1:
+        if self.fetch_dtype == 'sparse':
+            fetch_group = max(1, fetch_group)
             for g0 in range(0, n_samples, fetch_group):
                 batch = jnp.stack([o[0] for o in
                                    outs[g0:g0 + fetch_group]])
-                try:
-                    batch.copy_to_host_async()
-                except Exception:
-                    pass
-                groups.append(batch)
+                groups.append(self._start_fetch(batch))
         else:
             fetch_group = 1
             for o in outs:
@@ -425,6 +433,22 @@ class SemBEVGenerator:
             return [core.quantize_stack(s) for s in outs]
         return outs
 
+    def _start_fetch(self, arr):
+        """Begin the device->host copy of one sparse buffer (or a stacked
+        group of them), truncated along the last axis to the adaptive
+        byte hint when one is known — the value sections are packed by
+        actual occupancy, so everything past the hint is cap padding.
+        Returns the device array the finalize should np.asarray."""
+        if self.fetch_dtype == 'sparse':
+            k = self._fetch_hint_bytes
+            if k is not None and k < arr.shape[-1]:
+                arr = arr[..., :k]
+        try:
+            arr.copy_to_host_async()
+        except Exception:   # e.g. committed multi-device (mesh) outputs
+            pass
+        return arr
+
     def _fetch_stack(self, out, gen_future, w=None, raw=None) -> np.ndarray:
         """Fetch + decode one raster output to a (C,P,P) float16 numpy
         stack, per fetch_dtype. 'sparse' outputs are (sparse, dense)
@@ -438,7 +462,10 @@ class SemBEVGenerator:
             if raw is None:
                 raw = np.asarray(sparse)
             S = 3 if gen_future else 1
-            n_occs = np.ascontiguousarray(raw[-4 * S:]).view(np.int32)
+            n_occs = core.read_sparse_noccs(raw, self.pixel_size,
+                                            gen_future)
+            used = (core.sparse_header_bytes(self.pixel_size, gen_future)
+                    + 8 * int(n_occs.sum()))
             with self._telemetry_lock:
                 self.max_occupied = max(self.max_occupied,
                                         int(n_occs.max()))
@@ -447,23 +474,42 @@ class SemBEVGenerator:
                     self.max_occupied_split[i] = max(
                         self.max_occupied_split[i], int(n_occs[i]))
                     self.sum_occupied_split[i] += int(n_occs[i])
-            try:
+                # Adaptive-fetch hint: max used bytes over a ~4-step
+                # window, +15% headroom, 32 KiB buckets (few slice
+                # shapes). Next dispatches ship only this many bytes.
+                self._used_bytes_window.append(used)
+                hint = int(max(self._used_bytes_window) * 1.15)
+                self._fetch_hint_bytes = -(-hint // 32768) * 32768
+
+            def _decode(r):
+                """-> (stack, already_warped)."""
                 if native_decode.available():
                     # Fused decode + warp in one native pass, GIL
                     # released (native/bevdec.cpp); bit-identical to the
                     # numpy path below (tests/test_fetch.py).
                     return native_decode.decode_sparse_warp(
-                        raw, gen_future, self.pixel_size, self.sparse_cap,
-                        self._sparse_empty, w)
-                stack = core.decode_sparse_stack(
-                    raw, gen_future, self.pixel_size, self.sparse_cap,
-                    self._sparse_empty)
+                        r, gen_future, self.pixel_size, self.sparse_cap,
+                        self._sparse_empty, w), True
+                return core.decode_sparse_stack(
+                    r, gen_future, self.pixel_size, self.sparse_cap,
+                    self._sparse_empty), False
+
+            try:
+                try:
+                    stack, warped = _decode(raw)
+                except core.SparseShortFetch:
+                    # The adaptive hint under-shot this sample: refetch
+                    # the full cap-sized buffer (rare; hint adapts).
+                    with self._telemetry_lock:
+                        self.sparse_short_fetches += 1
+                    stack, warped = _decode(np.asarray(sparse))
             except core.SparseOverflow:
                 with self._telemetry_lock:
                     self.sparse_overflows += 1
                 stack = core.decode_dense_words(
                     np.asarray(dense), gen_future, self.pixel_size)
-            if w is not None and w['active']:
+                warped = False
+            if not warped and w is not None and w['active']:
                 stack = warp_ops.warp_dense_maps_np(
                     stack, w['a1'], w['a2'], w['b1'], w['b2'])
             return stack
@@ -533,8 +579,10 @@ class SemBEVGenerator:
         out = self._encode_outs([
             self._raster(points, valid, fids, inst_dyn, params.pack(),
                          gen_future)])[0]
-        return self._assemble(self._fetch_stack(out, gen_future, w), trajs,
-                              rot_ang, trans_dx, trans_dy,
+        fb = self._start_fetch(out[0] if isinstance(out, tuple) else out)
+        raw = np.asarray(fb) if self.fetch_dtype == 'sparse' else None
+        return self._assemble(self._fetch_stack(out, gen_future, w, raw=raw),
+                              trajs, rot_ang, trans_dx, trans_dy,
                               zoom_scalar * self.view_size, w, gen_future)
 
     def generate_rand_aug(self, pcs: Dict, trajs: Dict,

@@ -107,6 +107,31 @@ def test_sparse_overflow_falls_back_to_dense(rng):
     assert gen_b.max_occupied > 128
 
 
+def test_adaptive_fetch_matches_and_recovers(rng):
+    """Second generate() call fetches through the adaptive byte hint
+    (value sections packed by occupancy); a deliberately tiny hint must
+    short-fetch, refetch the full buffer, and still be correct."""
+    pcs = {'pc_present': _random_cloud(rng), 'pc_future': _random_cloud(rng)}
+    trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
+    bev_ref = _gen('float16').generate(pcs, trajs)
+    # Cap sized ABOVE this cloud's occupancy: the real sparse decode path
+    # must run (the default cap overflows to the dense fallback here).
+    gen_s = _gen('sparse', sparse_cap=4096)
+    gen_s.generate(pcs, trajs)
+    assert gen_s._fetch_hint_bytes is not None
+    assert gen_s.sparse_overflows == 0
+    bev_b = gen_s.generate(pcs, trajs)   # hint-sliced fetch
+    _compare_bevs(bev_ref, bev_b, 1.0 / 510 + 1e-3)
+    assert gen_s.sparse_short_fetches == 0
+    # Force an undersized hint: the decode must detect the truncation,
+    # refetch the full buffer, and produce identical output.
+    gen_s._fetch_hint_bytes = core.sparse_header_bytes(
+        gen_s.pixel_size, True) + 64
+    bev_c = gen_s.generate(pcs, trajs)
+    _compare_bevs(bev_ref, bev_c, 1.0 / 510 + 1e-3)
+    assert gen_s.sparse_short_fetches > 0
+
+
 def test_async_fetch_defers_and_matches(rng):
     gen_sync = _gen('float16')
     gen_async = _gen('float16')
@@ -149,23 +174,23 @@ def test_native_decode_bit_parity_with_numpy(rng):
             (64, (512, 256, 512), False, True),
             (128, (4096, 2048, 4096), True, True)]:
         S = 3 if gen_future else 1
-        rcaps = core.resolve_sparse_caps(caps)[:S]
         occ_p = rng.random(P * P) < 0.10
         occ_f = rng.random(P * P) < 0.05
         if S == 3:
             masks = [np.packbits(occ_p.astype(np.uint8)),
                      np.packbits(occ_f.astype(np.uint8))]
-            nv = [rcaps[0], rcaps[1], rcaps[2]]
             # Full-delta section occupancy = present & future overlap.
             n_occ = np.array([occ_p.sum(), occ_f.sum(),
                               (occ_p & occ_f).sum()], np.int32)
         else:
             masks = [np.packbits(occ_p.astype(np.uint8))]
-            nv = [rcaps[0]]
             n_occ = np.array([occ_p.sum()], np.int32)
+        # v2 layout: [masks | n_occ padded to 16 B | value sections packed
+        # contiguously by actual occupancy].
+        pad = np.zeros(16 - 4 * S, np.uint8)
         vals = [rng.integers(0, 256, (n, 8), dtype=np.uint8).reshape(-1)
-                for n in nv]
-        raw = np.concatenate(masks + vals + [n_occ.view(np.uint8)])
+                for n in n_occ]
+        raw = np.concatenate(masks + [n_occ.view(np.uint8), pad] + vals)
         if warp_on:
             a1, a2 = warp_ops.cal_warp_params(P // 2 + 10, P // 2, P - 1)
             b1, b2 = warp_ops.cal_warp_params(P // 2 - 8, P // 2, P - 1)
@@ -182,7 +207,7 @@ def test_native_decode_bit_parity_with_numpy(rng):
                                       got.view(np.uint16))
 
 
-def test_native_decode_overflow_and_malformed(rng):
+def test_native_decode_overflow_short_and_malformed(rng):
     from pc_accumulation_lib_tpu.bev import native_decode
     if not native_decode.available():
         import pytest
@@ -190,12 +215,23 @@ def test_native_decode_overflow_and_malformed(rng):
     import pytest
     P, caps = 64, (512, 256, 512)
     empty = core.sparse_empty_values(20., 20., 0.5, 0)
-    masks = [np.zeros(P * P // 8, np.uint8)] * 2
-    vals = [np.zeros(n * 8, np.uint8) for n in (512, 256, 512)]
+    header = [np.zeros(P * P // 8, np.uint8)] * 2
     n_occ = np.array([600, 0, 0], np.int32)  # > cap0
-    raw = np.concatenate(masks + vals + [n_occ.view(np.uint8)])
+    raw = np.concatenate(header + [n_occ.view(np.uint8),
+                                   np.zeros(4, np.uint8),
+                                   np.zeros(600 * 8, np.uint8)])
     with pytest.raises(core.SparseOverflow):
         native_decode.decode_sparse_warp(raw, True, P, caps, empty, None)
+    # Truncated adaptive fetch: header says 100 rows used, buffer holds 10.
+    n_occ2 = np.array([100, 0, 0], np.int32)
+    short = np.concatenate(header + [n_occ2.view(np.uint8),
+                                     np.zeros(4, np.uint8),
+                                     np.zeros(10 * 8, np.uint8)])
+    with pytest.raises(core.SparseShortFetch):
+        native_decode.decode_sparse_warp(short, True, P, caps, empty, None)
+    with pytest.raises(core.SparseShortFetch):
+        core.decode_sparse_stack(short, True, P, caps, empty)
+    # Shorter than its own header: malformed.
     with pytest.raises(ValueError):
-        native_decode.decode_sparse_warp(raw[:-1], True, P, caps, empty,
+        native_decode.decode_sparse_warp(raw[:100], True, P, caps, empty,
                                          None)
