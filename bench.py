@@ -234,13 +234,15 @@ def main():
     # raises rather than dropping points if a frame exceeds it.
     # compact_cap: once-per-step live-window compaction (DMA block copies,
     # accum/buffer.compact_window) — each of the 16 per-sample rasters then
-    # sweeps 966k rows instead of the full 26*40960=1.065M ring (dead slots
-    # + per-frame padding). Sized above the observed 939k peak live rows (~25-frame window at
-    # ~37.5k painted); the overflow guard raises and
-    # max_live_rows is printed below — keep the cap above it.
+    # sweeps ~993k rows instead of the full 26*40960=1.065M ring (dead
+    # slots + per-frame padding). The window can reach the full 26-frame
+    # ring (observed 976.8k live rows when a knife-edge eviction keeps the
+    # 26th frame), so the cap is sized to 26 frames x ~38.2k peak painted;
+    # the overflow guard raises and max_live_rows is printed below — keep
+    # the cap above it.
     accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=26,
                                 max_painted_points_per_frame=40960,
-                                compact_cap=966656)
+                                compact_cap=993280)
     icp_cfg = cfg.ICPConfig(max_downsampled=4096, num_iters=16)
     # Random rotate/translate/zoom + polynomial warp augmentation: each
     # sample yields bevs_per_sample distinct BEVs (BASELINE config 5).
