@@ -25,7 +25,7 @@ import jax
 # before user code, so env vars are locked in by then).
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '.jax_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 

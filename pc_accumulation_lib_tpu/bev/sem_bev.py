@@ -114,14 +114,16 @@ class SemBEVGenerator:
         self.n_occupied_obs = 0
         # Adaptive sparse fetch: the value sections are packed by ACTUAL
         # occupancy (bev/core._pack_sparse), so the fetch ships only
-        # header+used bytes (+15%, rounded to 32 KiB buckets so slice
-        # shapes stay few). The hint trails observed usage by ~a step; a
-        # sample that outgrows it raises SparseShortFetch and refetches
-        # its full buffer (counted below, correctness never lost).
+        # header+used bytes (+10% and a 2-step growth extrapolation,
+        # rounded to 32 KiB buckets so slice shapes stay few). The hint
+        # updates on step boundaries (_note_step_boundary) and trails
+        # observed usage by 1-2 steps; a sample that outgrows it raises
+        # SparseShortFetch and refetches its full buffer (counted below,
+        # correctness never lost).
         self.sparse_short_fetches = 0
         self._fetch_hint_bytes: Optional[int] = None
-        from collections import deque
-        self._used_bytes_window = deque(maxlen=64)
+        self._step_used_max = 0
+        self._prev_step_used_max: Optional[int] = None
         # Last finalize's harvest split: per-group transfer waits vs total
         # decode/assemble CPU seconds (tools/profile_harvest.py).
         self.last_harvest = None
@@ -284,7 +286,7 @@ class SemBEVGenerator:
 
         def finalize() -> List[Dict]:
             sparse = self.fetch_dtype == 'sparse'
-            return [
+            res = [
                 self._assemble(
                     self._fetch_stack(
                         o, gen_future, w,
@@ -294,6 +296,8 @@ class SemBEVGenerator:
                 for o, fb, (rot_ang, dx, dy, zoom, w)
                 in zip(outs, fetch_bufs, draws)
             ]
+            self._note_step_boundary()
+            return res
 
         return finalize if async_fetch else finalize()
 
@@ -415,6 +419,7 @@ class SemBEVGenerator:
                         raw = None if raws is None else raws[j - g0]
                         futs.append(ex.submit(work, outs[j], draws[j], raw))
                 res = [f.result() for f in futs]
+            self._note_step_boundary()
             # Telemetry for the harvest profiler (tools/profile_harvest.py):
             # per-group transfer waits vs total decode/assemble CPU time.
             with self._telemetry_lock:
@@ -432,6 +437,24 @@ class SemBEVGenerator:
         if self.fetch_dtype == 'quantized':
             return [core.quantize_stack(s) for s in outs]
         return outs
+
+    def _note_step_boundary(self):
+        """Update the adaptive-fetch byte hint from this step's max used
+        bytes: +10% headroom plus twice the step-over-step growth (the
+        hint trails dispatch by 1-2 steps, so while the accumulation
+        window is still FILLING — occupancy rising every step — the
+        slope term is what keeps the whole next step from short-fetching)
+        rounded up to a 32 KiB bucket."""
+        with self._telemetry_lock:
+            cur = self._step_used_max
+            if not cur:
+                return
+            slope = (0 if self._prev_step_used_max is None
+                     else max(0, cur - self._prev_step_used_max))
+            hint = int((cur + 2 * slope) * 1.10)
+            self._fetch_hint_bytes = -(-hint // 32768) * 32768
+            self._prev_step_used_max = cur
+            self._step_used_max = 0
 
     def _start_fetch(self, arr):
         """Begin the device->host copy of one sparse buffer (or a stacked
@@ -474,12 +497,7 @@ class SemBEVGenerator:
                     self.max_occupied_split[i] = max(
                         self.max_occupied_split[i], int(n_occs[i]))
                     self.sum_occupied_split[i] += int(n_occs[i])
-                # Adaptive-fetch hint: max used bytes over a ~4-step
-                # window, +15% headroom, 32 KiB buckets (few slice
-                # shapes). Next dispatches ship only this many bytes.
-                self._used_bytes_window.append(used)
-                hint = int(max(self._used_bytes_window) * 1.15)
-                self._fetch_hint_bytes = -(-hint // 32768) * 32768
+                self._step_used_max = max(self._step_used_max, used)
 
             def _decode(r):
                 """-> (stack, already_warped)."""
@@ -581,9 +599,11 @@ class SemBEVGenerator:
                          gen_future)])[0]
         fb = self._start_fetch(out[0] if isinstance(out, tuple) else out)
         raw = np.asarray(fb) if self.fetch_dtype == 'sparse' else None
-        return self._assemble(self._fetch_stack(out, gen_future, w, raw=raw),
-                              trajs, rot_ang, trans_dx, trans_dy,
-                              zoom_scalar * self.view_size, w, gen_future)
+        bev = self._assemble(self._fetch_stack(out, gen_future, w, raw=raw),
+                             trajs, rot_ang, trans_dx, trans_dy,
+                             zoom_scalar * self.view_size, w, gen_future)
+        self._note_step_boundary()
+        return bev
 
     def generate_rand_aug(self, pcs: Dict, trajs: Dict,
                           do_warping: bool = True) -> Dict:
