@@ -48,10 +48,12 @@ def main():
     x0 = jnp.zeros(())
     t_rtt = timeit('RTT floor', lambda: np.asarray(rtt(x0)))
 
+    import flax.linen as nn
+
     class NoResize(ResNet50DilatedFCN):
         # identical graph up to the head; skip the upsample+full-res tail
+        @nn.compact
         def __call__(self, images, train=False):  # noqa: D102
-            import flax.linen as nn
             x = preprocess(images).astype(self.dtype)
             norm = lambda name: nn.BatchNorm(   # noqa: E731
                 use_running_average=True, momentum=0.9, epsilon=1e-5,
