@@ -1,0 +1,177 @@
+"""Minimal ONNX ModelProto reader (no ``onnx`` package required).
+
+The reference pipeline's only use of the ONNX format is extracting the
+checkpoint's named weight tensors for the Flax port
+(models/onnx_port.load_onnx_variables; reference consumer:
+utils/onnx_utils.py:20-24). The ``onnx`` python package does not ship in
+this environment, but an .onnx file is just a protobuf ModelProto — and
+the subset needed here (graph initializers: name, dims, data_type,
+raw/typed data) is small enough to read with a hand-rolled protobuf
+wire-format scanner. torch's legacy exporter can WRITE ModelProto without
+the onnx package, so the full export -> parse -> port -> forward-parity
+loop is testable hermetically (tests/test_onnx_port.py).
+
+Wire format (protobuf encoding spec): a message is a sequence of
+(tag varint = field_number << 3 | wire_type, payload) records;
+wire types used by ONNX: 0 = varint, 1 = 64-bit, 2 = length-delimited,
+5 = 32-bit. Field numbers below are from onnx.proto3:
+
+  ModelProto:  graph = 7 (GraphProto)
+  GraphProto:  node = 1, initializer = 5 (TensorProto), name = 2
+  TensorProto: dims = 1 (repeated int64), data_type = 2, float_data = 4,
+               int32_data = 5, int64_data = 7, name = 8, raw_data = 9,
+               double_data = 10, uint64_data = 11
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Tuple
+
+import numpy as np
+
+# TensorProto.DataType -> numpy dtype (the subset exporters emit for
+# weights; bf16 (16) has no numpy dtype and is not used by torch exports).
+_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
+    12: np.uint32, 13: np.uint64,
+}
+
+
+def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError('varint too long (corrupt protobuf)')
+
+
+def _fields(buf: memoryview) -> Iterator[Tuple[int, int, memoryview]]:
+    """Yield (field_number, wire_type, payload view) over one message."""
+    pos, end = 0, len(buf)
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+            yield field, wire, val
+        elif wire == 2:
+            n, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos:pos + n]
+            pos += n
+        elif wire == 5:
+            yield field, wire, buf[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            yield field, wire, buf[pos:pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f'unsupported wire type {wire} '
+                             f'(field {field})')
+
+
+def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
+    """TensorProto -> (name, ndarray)."""
+    name = ''
+    dims = []
+    data_type = 1
+    raw = None
+    typed = {4: [], 5: [], 7: [], 10: [], 11: []}
+    for field, wire, val in _fields(buf):
+        if field == 1:                       # dims (packed or unpacked)
+            if wire == 0:
+                dims.append(val)
+            else:
+                pos = 0
+                while pos < len(val):
+                    d, pos = _read_varint(val, pos)
+                    dims.append(d)
+        elif field == 2:
+            data_type = val
+        elif field == 8:
+            name = bytes(val).decode('utf-8')
+        elif field == 9:
+            raw = val
+        elif field in typed and wire == 2:   # packed typed data
+            typed[field].append(bytes(val))
+    if data_type not in _DTYPES:
+        raise ValueError(f'initializer {name!r}: unsupported '
+                         f'data_type {data_type}')
+    dtype = _DTYPES[data_type]
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=dtype)
+    elif typed[4] and data_type == 1:
+        arr = np.frombuffer(b''.join(typed[4]), dtype=np.float32)
+    elif typed[10] and data_type == 11:
+        arr = np.frombuffer(b''.join(typed[10]), dtype=np.float64)
+    elif typed[7] and data_type == 7:
+        # int64_data is varint-packed, not fixed-width.
+        out = []
+        for chunk in typed[7]:
+            mv, pos = memoryview(chunk), 0
+            while pos < len(mv):
+                v, pos = _read_varint(mv, pos)
+                # two's-complement decode for negative int64
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        arr = np.asarray(out, dtype=np.int64)
+    elif typed[5] and data_type in (2, 3, 4, 5, 6, 9, 10):
+        out = []
+        for chunk in typed[5]:
+            mv, pos = memoryview(chunk), 0
+            while pos < len(mv):
+                v, pos = _read_varint(mv, pos)
+                out.append(v - (1 << 32) if v >= (1 << 31) else v)
+        if data_type == 10:                  # float16 stored as uint16
+            arr = np.asarray(out, np.uint16).view(np.float16)
+        else:
+            arr = np.asarray(out).astype(dtype)
+    else:
+        arr = np.zeros(0, dtype=dtype)
+    return name, arr.reshape(dims) if dims else arr
+
+
+def read_initializers(path: str) -> Dict[str, np.ndarray]:
+    """Read an .onnx file's graph initializers as {name: ndarray} — the
+    exact input models/onnx_port.convert_named_tensors consumes.
+
+    Also resolves ``Identity`` aliases: exporters deduplicate
+    value-identical tensors by emitting one initializer plus
+    Identity(src) -> alias nodes (e.g. a fresh BatchNorm's running_var
+    aliasing its all-ones weight) — the alias names are restored so
+    name-based porting sees every tensor."""
+    with open(path, 'rb') as f:
+        data = f.read()
+    model = memoryview(data)
+    named: Dict[str, np.ndarray] = {}
+    identities = []                          # (input_name, output_name)
+    for field, wire, graph in _fields(model):
+        if field != 7 or wire != 2:          # ModelProto.graph
+            continue
+        for gfield, gwire, msg in _fields(graph):
+            if gfield == 5 and gwire == 2:   # GraphProto.initializer
+                name, arr = _parse_tensor(msg)
+                named[name] = arr
+            elif gfield == 1 and gwire == 2:  # GraphProto.node
+                op, ins, outs = '', [], []
+                for nfield, nwire, v in _fields(msg):
+                    if nfield == 1:
+                        ins.append(bytes(v).decode('utf-8'))
+                    elif nfield == 2:
+                        outs.append(bytes(v).decode('utf-8'))
+                    elif nfield == 4:
+                        op = bytes(v).decode('utf-8')
+                if op == 'Identity' and len(ins) == 1 and len(outs) == 1:
+                    identities.append((ins[0], outs[0]))
+    # Nodes are topologically sorted, so one pass resolves alias chains.
+    for src, dst in identities:
+        if src in named and dst not in named:
+            named[dst] = named[src]
+    if not named:
+        raise ValueError(f'{path}: no graph initializers found '
+                         '(not an ONNX ModelProto?)')
+    return named

@@ -147,17 +147,20 @@ def export_named_tensors(variables) -> Dict[str, np.ndarray]:
 
 def load_onnx_variables(path: str, model=None,
                         variables: Optional[dict] = None):
-    """Port the reference ONNX checkpoint into Flax variables (gated on
-    the ``onnx`` package, which does not ship in this environment)."""
+    """Port the reference ONNX checkpoint into Flax variables.
+
+    Uses the ``onnx`` package when present; otherwise falls back to the
+    built-in minimal ModelProto reader (models/onnx_pb.py) — the port
+    only needs the graph initializers, so the conversion works in
+    environments without ``onnx`` (exercised end-to-end against a real
+    torch-exported graph in tests/test_onnx_port.py)."""
     try:
         import onnx
         from onnx import numpy_helper
-    except ImportError as e:  # pragma: no cover - env without onnx
-        raise ImportError(
-            'onnx package unavailable: cannot convert the reference '
-            'checkpoint. Serialize Flax variables instead (see '
-            'models/semseg.load_semseg_model).') from e
-    graph = onnx.load(path).graph
-    named = {init.name: numpy_helper.to_array(init)
-             for init in graph.initializer}
+        graph = onnx.load(path).graph
+        named = {init.name: numpy_helper.to_array(init)
+                 for init in graph.initializer}
+    except ImportError:
+        from pc_accumulation_lib_tpu.models import onnx_pb
+        named = onnx_pb.read_initializers(path)
     return convert_named_tensors(named, model=model, variables=variables)
