@@ -86,7 +86,9 @@ def bench_nuscenes_oracle():
     gen = accum.sem_bev_generator
     print(f'sparse fetch: max {gen.max_occupied} occupied cells '
           f'(per split {gen.max_occupied_split}, cap {gen.sparse_cap}), '
-          f'{gen.sparse_overflows} dense fallbacks', file=sys.stderr)
+          f'{gen.sparse_overflows} dense fallbacks, '
+          f'{gen.sparse_short_fetches} short fetches '
+          f'(adaptive hint {gen._fetch_hint_bytes} B)', file=sys.stderr)
     print(json.dumps({
         'metric': 'nuscenes_oracle_bev_samples_per_sec_per_chip',
         'value': round(n_samples / dt, 3),

@@ -73,8 +73,13 @@ def test_sparse_fetch_matches_float16(rng):
     pcs = {'pc_present': _random_cloud(rng), 'pc_future': _random_cloud(rng)}
     trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
     bev_a = _gen('float16').generate(pcs, trajs)
-    bev_b = _gen('sparse').generate(pcs, trajs)
+    gen_b = _gen('sparse', sparse_cap=4096)
+    bev_b = gen_b.generate(pcs, trajs)
     _compare_bevs(bev_a, bev_b, 1.0 / 510 + 1e-3)
+    assert gen_b.sparse_overflows == 0   # the real sparse path ran
+    # Default (undersized here) cap: same outputs via the dense fallback.
+    bev_c = _gen('sparse').generate(pcs, trajs)
+    _compare_bevs(bev_a, bev_c, 1.0 / 510 + 1e-3)
 
 
 def test_sparse_fetch_matches_with_warp_and_aug(rng):
@@ -85,10 +90,14 @@ def test_sparse_fetch_matches_with_warp_and_aug(rng):
                                            trans_dx=1.0, trans_dy=-2.0,
                                            zoom_scalar=1.03,
                                            do_warping=True)
-    bev_b = _gen('sparse', **kw).generate(pcs, trajs, rot_ang=0.7,
-                                          trans_dx=1.0, trans_dy=-2.0,
-                                          zoom_scalar=1.03, do_warping=True)
+    # Cap above this cloud's occupancy: the REAL sparse decode (+ fused
+    # native warp) path must run, not the overflow->dense fallback.
+    gen_b = _gen('sparse', sparse_cap=4096, **kw)
+    bev_b = gen_b.generate(pcs, trajs, rot_ang=0.7,
+                           trans_dx=1.0, trans_dy=-2.0,
+                           zoom_scalar=1.03, do_warping=True)
     _compare_bevs(bev_a, bev_b, 1.0 / 510 + 1e-3)
+    assert gen_b.sparse_overflows == 0
 
 
 def test_sparse_overflow_falls_back_to_dense(rng):
