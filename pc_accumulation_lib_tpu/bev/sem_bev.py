@@ -119,11 +119,15 @@ class SemBEVGenerator:
         # updates on step boundaries (_note_step_boundary) and trails
         # observed usage by 1-2 steps; a sample that outgrows it raises
         # SparseShortFetch and refetches its full buffer (counted below,
-        # correctness never lost).
+        # correctness never lost). All hint state is keyed by the split
+        # count S: gen_future varies per call and S=1 buffers (smaller
+        # header AND sections) must never truncate an S=3 fetch below its
+        # own header.
         self.sparse_short_fetches = 0
-        self._fetch_hint_bytes: Optional[int] = None
-        self._step_used_max = 0
-        self._prev_step_used_max: Optional[int] = None
+        self._fetch_hint_bytes = {}        # {S: bytes}
+        self._step_used_max = {}           # {S: bytes}
+        self._prev_step_used_max = {}      # {S: bytes}
+        self._harvest_pool = None          # lazy persistent decode pool
         # Last finalize's harvest split: per-group transfer waits vs total
         # decode/assemble CPU seconds (tools/profile_harvest.py).
         self.last_harvest = None
@@ -281,8 +285,8 @@ class SemBEVGenerator:
             self._raster(points, valid, pt_frame_ids, inst_dyn, pk,
                          gen_future) for pk in packed
         ])
-        fetch_bufs = [self._start_fetch(o[0] if isinstance(o, tuple) else o)
-                      for o in outs]
+        fetch_bufs = [self._start_fetch(o[0] if isinstance(o, tuple) else o,
+                                        gen_future) for o in outs]
 
         def finalize() -> List[Dict]:
             sparse = self.fetch_dtype == 'sparse'
@@ -379,7 +383,7 @@ class SemBEVGenerator:
             for g0 in range(0, n_samples, fetch_group):
                 batch = jnp.stack([o[0] for o in
                                    outs[g0:g0 + fetch_group]])
-                groups.append(self._start_fetch(batch))
+                groups.append(self._start_fetch(batch, gen_future))
         else:
             fetch_group = 1
             for o in outs:
@@ -408,17 +412,26 @@ class SemBEVGenerator:
                 return r
 
             t_wall = _time.perf_counter()
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                futs = []
-                for g0 in range(0, n_samples, fetch_group):
-                    t0 = _time.perf_counter()
-                    raws = (np.asarray(groups[g0 // fetch_group])
-                            if groups else None)
-                    waits.append(_time.perf_counter() - t0)
-                    for j in range(g0, min(g0 + fetch_group, n_samples)):
-                        raw = None if raws is None else raws[j - g0]
-                        futs.append(ex.submit(work, outs[j], draws[j], raw))
-                res = [f.result() for f in futs]
+            # PERSISTENT 2-thread pool (lazy): a fresh executor per step
+            # would retire its threads each time, abandoning the native
+            # decoder's thread_local work tables (~MBs each at P>=256,
+            # freed only at process exit) — an unbounded host leak over a
+            # long run. Finalizes run serially (step order), so one pool
+            # per generator is race-free.
+            if self._harvest_pool is None:
+                self._harvest_pool = ThreadPoolExecutor(
+                    max_workers=2, thread_name_prefix='bev-decode')
+            ex = self._harvest_pool
+            futs = []
+            for g0 in range(0, n_samples, fetch_group):
+                t0 = _time.perf_counter()
+                raws = (np.asarray(groups[g0 // fetch_group])
+                        if groups else None)
+                waits.append(_time.perf_counter() - t0)
+                for j in range(g0, min(g0 + fetch_group, n_samples)):
+                    raw = None if raws is None else raws[j - g0]
+                    futs.append(ex.submit(work, outs[j], draws[j], raw))
+            res = [f.result() for f in futs]
             self._note_step_boundary()
             # Telemetry for the harvest profiler (tools/profile_harvest.py):
             # per-group transfer waits vs total decode/assemble CPU time.
@@ -439,31 +452,30 @@ class SemBEVGenerator:
         return outs
 
     def _note_step_boundary(self):
-        """Update the adaptive-fetch byte hint from this step's max used
-        bytes: +10% headroom plus twice the step-over-step growth (the
-        hint trails dispatch by 1-2 steps, so while the accumulation
-        window is still FILLING — occupancy rising every step — the
-        slope term is what keeps the whole next step from short-fetching)
-        rounded up to a 32 KiB bucket."""
+        """Update the adaptive-fetch byte hints from each split count's
+        max used bytes this step: +10% headroom plus twice the
+        step-over-step growth (the hint trails dispatch by 1-2 steps, so
+        while the accumulation window is still FILLING — occupancy rising
+        every step — the slope term is what keeps the whole next step
+        from short-fetching) rounded up to a 32 KiB bucket."""
         with self._telemetry_lock:
-            cur = self._step_used_max
-            if not cur:
-                return
-            slope = (0 if self._prev_step_used_max is None
-                     else max(0, cur - self._prev_step_used_max))
-            hint = int((cur + 2 * slope) * 1.10)
-            self._fetch_hint_bytes = -(-hint // 32768) * 32768
-            self._prev_step_used_max = cur
-            self._step_used_max = 0
+            for S, cur in self._step_used_max.items():
+                prev = self._prev_step_used_max.get(S)
+                slope = 0 if prev is None else max(0, cur - prev)
+                hint = int((cur + 2 * slope) * 1.10)
+                self._fetch_hint_bytes[S] = -(-hint // 32768) * 32768
+                self._prev_step_used_max[S] = cur
+            self._step_used_max.clear()
 
-    def _start_fetch(self, arr):
+    def _start_fetch(self, arr, gen_future=True):
         """Begin the device->host copy of one sparse buffer (or a stacked
-        group of them), truncated along the last axis to the adaptive
-        byte hint when one is known — the value sections are packed by
-        actual occupancy, so everything past the hint is cap padding.
-        Returns the device array the finalize should np.asarray."""
+        group of them), truncated along the last axis to this split
+        count's adaptive byte hint when one is known — the value sections
+        are packed by actual occupancy, so everything past the hint is
+        cap padding. Returns the device array the finalize should
+        np.asarray."""
         if self.fetch_dtype == 'sparse':
-            k = self._fetch_hint_bytes
+            k = self._fetch_hint_bytes.get(3 if gen_future else 1)
             if k is not None and k < arr.shape[-1]:
                 arr = arr[..., :k]
         try:
@@ -485,10 +497,17 @@ class SemBEVGenerator:
             if raw is None:
                 raw = np.asarray(sparse)
             S = 3 if gen_future else 1
+            if raw.shape[-1] < core.sparse_header_bytes(self.pixel_size,
+                                                        gen_future):
+                # Defensive: a truncation below even the fixed header
+                # (e.g. a hint learned at a different operating point) —
+                # refetch the full buffer before reading anything.
+                with self._telemetry_lock:
+                    self.sparse_short_fetches += 1
+                raw = np.asarray(sparse)
             n_occs = core.read_sparse_noccs(raw, self.pixel_size,
                                             gen_future)
-            used = (core.sparse_header_bytes(self.pixel_size, gen_future)
-                    + 8 * int(n_occs.sum()))
+            used = core.sparse_used_bytes(raw, self.pixel_size, gen_future)
             with self._telemetry_lock:
                 self.max_occupied = max(self.max_occupied,
                                         int(n_occs.max()))
@@ -497,7 +516,8 @@ class SemBEVGenerator:
                     self.max_occupied_split[i] = max(
                         self.max_occupied_split[i], int(n_occs[i]))
                     self.sum_occupied_split[i] += int(n_occs[i])
-                self._step_used_max = max(self._step_used_max, used)
+                self._step_used_max[S] = max(self._step_used_max.get(S, 0),
+                                             used)
 
             def _decode(r):
                 """-> (stack, already_warped)."""
@@ -597,7 +617,8 @@ class SemBEVGenerator:
         out = self._encode_outs([
             self._raster(points, valid, fids, inst_dyn, params.pack(),
                          gen_future)])[0]
-        fb = self._start_fetch(out[0] if isinstance(out, tuple) else out)
+        fb = self._start_fetch(out[0] if isinstance(out, tuple) else out,
+                               gen_future)
         raw = np.asarray(fb) if self.fetch_dtype == 'sparse' else None
         bev = self._assemble(self._fetch_stack(out, gen_future, w, raw=raw),
                              trajs, rot_ang, trans_dx, trans_dy,

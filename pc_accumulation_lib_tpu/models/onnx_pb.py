@@ -40,7 +40,10 @@ _DTYPES = {
 def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
+    end = len(buf)
     while True:
+        if pos >= end:
+            raise ValueError('truncated protobuf (varint past buffer end)')
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -52,7 +55,9 @@ def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
 
 
 def _fields(buf: memoryview) -> Iterator[Tuple[int, int, memoryview]]:
-    """Yield (field_number, wire_type, payload view) over one message."""
+    """Yield (field_number, wire_type, payload view) over one message.
+    Raises ValueError (never a bare IndexError or a silently short view)
+    on a truncated or corrupt buffer."""
     pos, end = 0, len(buf)
     while pos < end:
         tag, pos = _read_varint(buf, pos)
@@ -62,12 +67,20 @@ def _fields(buf: memoryview) -> Iterator[Tuple[int, int, memoryview]]:
             yield field, wire, val
         elif wire == 2:
             n, pos = _read_varint(buf, pos)
+            if pos + n > end:
+                raise ValueError(
+                    f'truncated protobuf: field {field} length {n} '
+                    f'exceeds buffer ({end - pos} bytes left)')
             yield field, wire, buf[pos:pos + n]
             pos += n
         elif wire == 5:
+            if pos + 4 > end:
+                raise ValueError('truncated protobuf (fixed32 past end)')
             yield field, wire, buf[pos:pos + 4]
             pos += 4
         elif wire == 1:
+            if pos + 8 > end:
+                raise ValueError('truncated protobuf (fixed64 past end)')
             yield field, wire, buf[pos:pos + 8]
             pos += 8
         else:
@@ -81,7 +94,13 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
     dims = []
     data_type = 1
     raw = None
+    # Typed repeated scalar fields arrive packed (one wire-2 chunk) OR
+    # unpacked (one record per element) — the protobuf spec requires
+    # accepting both. Fixed-width elements (float/double) collect as raw
+    # bytes either way; varint elements collect as chunks (packed) plus
+    # decoded ints (unpacked).
     typed = {4: [], 5: [], 7: [], 10: [], 11: []}
+    unpacked_ints = {5: [], 7: [], 11: []}
     for field, wire, val in _fields(buf):
         if field == 1:                       # dims (packed or unpacked)
             if wire == 0:
@@ -97,37 +116,41 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
             name = bytes(val).decode('utf-8')
         elif field == 9:
             raw = val
-        elif field in typed and wire == 2:   # packed typed data
-            typed[field].append(bytes(val))
+        elif field in typed:
+            if wire in (1, 2, 5):            # packed chunk / fixed-width
+                typed[field].append(bytes(val))
+            elif wire == 0:                  # unpacked varint element
+                unpacked_ints[field].append(val)
     if data_type not in _DTYPES:
         raise ValueError(f'initializer {name!r}: unsupported '
                          f'data_type {data_type}')
     dtype = _DTYPES[data_type]
+
+    def varint_values(field, bits):
+        vals = []
+        for chunk in typed[field]:
+            mv, pos = memoryview(chunk), 0
+            while pos < len(mv):
+                v, pos = _read_varint(mv, pos)
+                vals.append(v)
+        vals.extend(unpacked_ints[field])
+        half = 1 << (bits - 1)
+        return [v - (1 << bits) if v >= half else v for v in vals]
+
     if raw is not None:
         arr = np.frombuffer(raw, dtype=dtype)
     elif typed[4] and data_type == 1:
         arr = np.frombuffer(b''.join(typed[4]), dtype=np.float32)
     elif typed[10] and data_type == 11:
         arr = np.frombuffer(b''.join(typed[10]), dtype=np.float64)
-    elif typed[7] and data_type == 7:
-        # int64_data is varint-packed, not fixed-width.
-        out = []
-        for chunk in typed[7]:
-            mv, pos = memoryview(chunk), 0
-            while pos < len(mv):
-                v, pos = _read_varint(mv, pos)
-                # two's-complement decode for negative int64
-                out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        arr = np.asarray(out, dtype=np.int64)
-    elif typed[5] and data_type in (2, 3, 4, 5, 6, 9, 10):
-        out = []
-        for chunk in typed[5]:
-            mv, pos = memoryview(chunk), 0
-            while pos < len(mv):
-                v, pos = _read_varint(mv, pos)
-                out.append(v - (1 << 32) if v >= (1 << 31) else v)
+    elif (typed[7] or unpacked_ints[7]) and data_type == 7:
+        arr = np.asarray(varint_values(7, 64), dtype=np.int64)
+    elif ((typed[5] or unpacked_ints[5])
+          and data_type in (2, 3, 4, 5, 6, 9, 10)):
+        out = varint_values(5, 32)
         if data_type == 10:                  # float16 stored as uint16
-            arr = np.asarray(out, np.uint16).view(np.float16)
+            arr = np.asarray(out, np.int64).astype(
+                np.uint16).view(np.float16)
         else:
             arr = np.asarray(out).astype(dtype)
     else:

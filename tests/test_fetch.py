@@ -127,16 +127,39 @@ def test_adaptive_fetch_matches_and_recovers(rng):
     # must run (the default cap overflows to the dense fallback here).
     gen_s = _gen('sparse', sparse_cap=4096)
     gen_s.generate(pcs, trajs)
-    assert gen_s._fetch_hint_bytes is not None
+    assert gen_s._fetch_hint_bytes.get(3) is not None
     assert gen_s.sparse_overflows == 0
     bev_b = gen_s.generate(pcs, trajs)   # hint-sliced fetch
     _compare_bevs(bev_ref, bev_b, 1.0 / 510 + 1e-3)
     assert gen_s.sparse_short_fetches == 0
     # Force an undersized hint: the decode must detect the truncation,
     # refetch the full buffer, and produce identical output.
-    gen_s._fetch_hint_bytes = core.sparse_header_bytes(
+    gen_s._fetch_hint_bytes[3] = core.sparse_header_bytes(
         gen_s.pixel_size, True) + 64
     bev_c = gen_s.generate(pcs, trajs)
+    _compare_bevs(bev_ref, bev_c, 1.0 / 510 + 1e-3)
+    assert gen_s.sparse_short_fetches > 0
+
+
+def test_adaptive_hint_isolated_per_split_count(rng):
+    """A hint learned on a gen_future=False (S=1) call must never apply
+    to an S=3 fetch: S=1 buffers have a smaller header AND sections, so a
+    shared hint could truncate the S=3 buffer below even its own header
+    (unrecoverable without the per-S keying)."""
+    trajs = {'ego_traj_present': np.array([[0., 0, 0], [1, 0, 0]])}
+    gen_s = _gen('sparse', sparse_cap=4096)
+    pcs1 = {'pc_present': _random_cloud(rng)}
+    gen_s.generate(pcs1, trajs)                      # S=1 call
+    assert 1 in gen_s._fetch_hint_bytes
+    assert 3 not in gen_s._fetch_hint_bytes
+    pcs3 = {'pc_present': _random_cloud(rng), 'pc_future': _random_cloud(rng)}
+    bev_ref = _gen('float16').generate(pcs3, trajs)
+    bev_b = gen_s.generate(pcs3, trajs)              # S=3: own hint slot
+    _compare_bevs(bev_ref, bev_b, 1.0 / 510 + 1e-3)
+    assert 3 in gen_s._fetch_hint_bytes
+    # Defensive header guard: even a below-header truncation recovers.
+    gen_s._fetch_hint_bytes[3] = 8                   # absurd, < header
+    bev_c = gen_s.generate(pcs3, trajs)
     _compare_bevs(bev_ref, bev_c, 1.0 / 510 + 1e-3)
     assert gen_s.sparse_short_fetches > 0
 

@@ -111,8 +111,15 @@ def test_torch_export_parse_port_forward_parity(tmp_path):
 
     # torch's legacy exporter only needs the onnx package for an
     # onnxscript post-pass that is a no-op without custom ops — shim it
-    # out so the export works in this onnx-less environment.
-    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    # out so the export works in this onnx-less environment. The module
+    # path is torch-internal and has moved across 2.x releases: skip
+    # (not fail) on torch versions where it lives elsewhere.
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils)
+    except ImportError:
+        pytest.skip('torch internal onnx_proto_utils moved; cannot shim '
+                    'the legacy exporter on this torch version')
     orig = onnx_proto_utils._add_onnxscript_fn
     onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _: model_bytes
     try:
@@ -151,6 +158,36 @@ def test_torch_export_parse_port_forward_parity(tmp_path):
     np.testing.assert_allclose(f_logits, t_logits, atol=2e-2, rtol=0)
     agree = np.mean(f_logits.argmax(-1) == t_logits.argmax(-1))
     assert agree >= 0.998, f'argmax parity {agree}'
+
+
+def test_onnx_pb_truncated_and_unpacked(tmp_path):
+    """The minimal ModelProto reader must (a) raise a clear ValueError on
+    truncated files instead of IndexError/short-view misparses, and (b)
+    accept UNPACKED repeated typed data (one record per element), which
+    the protobuf spec requires parsers to handle alongside packed."""
+    import struct
+    from pc_accumulation_lib_tpu.models import onnx_pb
+
+    # (a) field 7 (graph), wire 2, declared length 127, one byte present.
+    bad = tmp_path / 'bad.onnx'
+    bad.write_bytes(bytes([0x3A, 0x7F, 0x01]))
+    with pytest.raises(ValueError, match='truncated'):
+        onnx_pb.read_initializers(str(bad))
+
+    # (b) TensorProto with dims=[2], float dtype, float_data as two
+    # UNPACKED (field 4, wire 5) records.
+    tensor = (bytes([0x08, 0x02])            # dims: field 1 varint 2
+              + bytes([0x10, 0x01])          # data_type: field 2 = FLOAT
+              + bytes([0x42, 0x01]) + b'w'   # name: field 8 = 'w'
+              + bytes([0x25]) + struct.pack('<f', 1.5)
+              + bytes([0x25]) + struct.pack('<f', -2.0))
+    graph = bytes([0x2A, len(tensor)]) + tensor   # field 5 initializer
+    model = bytes([0x3A, len(graph)]) + graph     # field 7 graph
+    good = tmp_path / 'unpacked.onnx'
+    good.write_bytes(model)
+    named = onnx_pb.read_initializers(str(good))
+    np.testing.assert_array_equal(named['w'],
+                                  np.array([1.5, -2.0], np.float32))
 
 
 def test_onnx_graph_port():
