@@ -283,6 +283,7 @@ def main():
     # inside a driver timeout (steady-state rate is unaffected).
     if time.perf_counter() - t_warm > 240:
         n_frames = warmup_frames + 6
+    shorts_warmup = accum.sem_bev_generator.sparse_short_fetches
 
     # Timed steady-state: one accum.step per iteration = one fused
     # integrate (semseg + ICP + paint + insert + eviction window) plus
@@ -354,7 +355,8 @@ def main():
           f'(per split {gen.max_occupied_split}, mean {mean_occ}, '
           f'cap {gen.sparse_cap}), '
           f'{gen.sparse_overflows} dense fallbacks, '
-          f'{gen.sparse_short_fetches} short fetches '
+          f'{gen.sparse_short_fetches} short fetches of which '
+          f'{gen.sparse_short_fetches - shorts_warmup} after warmup '
           f'(adaptive hint {gen._fetch_hint_bytes} B)', file=sys.stderr)
     print(f'compaction: max {accum.max_live_rows} live rows '
           f'(cap {accum.accum_cfg.compact_cap})', file=sys.stderr)

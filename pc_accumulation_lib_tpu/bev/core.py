@@ -93,9 +93,12 @@ _SPLIT_CHANNELS = ('road', 'intensity', 'rgb_r', 'rgb_g', 'rgb_b', 'dynamic',
 
 
 def default_sparse_cap(pixel_size: int) -> int:
-    """Default occupied-cell capacity for the sparse fetch: 40% of the
-    raster, rounded up to a lane multiple."""
-    return ((pixel_size * pixel_size * 2 // 5) + 127) // 128 * 128
+    """Default occupied-cell capacity for the sparse fetch: 60% of the
+    raster, rounded up to a lane multiple. Since the adaptive fetch
+    (sem_bev._start_fetch) ships only header+used bytes, cap padding
+    costs HBM, not wire — so the default is generous to make the
+    overflow->dense fallback rare; size explicitly only to tune HBM."""
+    return ((pixel_size * pixel_size * 3 // 5) + 127) // 128 * 128
 
 
 def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,

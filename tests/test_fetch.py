@@ -77,9 +77,11 @@ def test_sparse_fetch_matches_float16(rng):
     bev_b = gen_b.generate(pcs, trajs)
     _compare_bevs(bev_a, bev_b, 1.0 / 510 + 1e-3)
     assert gen_b.sparse_overflows == 0   # the real sparse path ran
-    # Default (undersized here) cap: same outputs via the dense fallback.
-    bev_c = _gen('sparse').generate(pcs, trajs)
+    # Undersized cap: same outputs via the overflow->dense fallback.
+    gen_c = _gen('sparse', sparse_cap=1024)
+    bev_c = gen_c.generate(pcs, trajs)
     _compare_bevs(bev_a, bev_c, 1.0 / 510 + 1e-3)
+    assert gen_c.sparse_overflows > 0
 
 
 def test_sparse_fetch_matches_with_warp_and_aug(rng):
@@ -204,7 +206,10 @@ def test_native_decode_bit_parity_with_numpy(rng):
             (64, (512, 256, 512), True, True),
             (64, (512, 256, 512), True, False),
             (64, (512, 256, 512), False, True),
-            (128, (4096, 2048, 4096), True, True)]:
+            (128, (4096, 2048, 4096), True, True),
+            # Reference's large raster config (--bev_pixel_size 512):
+            # covers the 512-layout header/section geometry cheaply.
+            (512, (32768, 16384, 16384), True, True)]:
         S = 3 if gen_future else 1
         occ_p = rng.random(P * P) < 0.10
         occ_f = rng.random(P * P) < 0.05
