@@ -3,6 +3,12 @@
 Times each stage of the sort raster (ops/sort_raster.py + bev/core.py)
 standalone at bench shape (1179648 rows). First run compiles several new
 kernels (slow through the tunnel, then cached).
+
+NOTE: the sort variants here reflect the ROUND-2 configuration (5-operand
+sorts, 12288 sparse cap) — kept unchanged so numbers stay comparable to
+the PERF_NOTES round-2 cost model. The production path is the 3-operand
+packed sort + prepped raster (ops/sort_raster.split_stats_from_packed);
+use tools/profile_step.py for current end-to-end stage times.
 Run: python tools/profile_raster_pieces.py
 """
 import os
