@@ -195,39 +195,23 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
                                  int_scaler, int_sep_scaler,
                                  int_mid_threshold, sparse_cap)
         else:
+            # pack='sparse' is sort-backend-only (constructor guard), so
+            # this branch always takes _emit_outputs' dense tail.
             splits = {'present': static_m & present_m}
             if gen_future:
                 splits['future'] = static_m & ~present_m
                 splits['full'] = static_m
-            # Rasterize all channels for all splits, stack for one fused
-            # warp (sem_bev.py:120-194 warps the full map stack with one
-            # param set).
-            stack = []
+            chs = {}
             for name, split_mask in splits.items():
                 ch = ras.bev_split_channels(cells, split_mask, z, inten,
                                             rgb, sem, sem_idxs, P,
                                             rgb_fill=rgb_fill)
-                stack += [ch['road'], ch['intensity'], ch['rgb'][0],
-                          ch['rgb'][1], ch['rgb'][2], ch['dynamic'],
-                          ch['elevation']]
-        maps = jnp.stack(stack)
-        if pack != 'sparse':
-            # Sparse mode ships PRE-warp maps: the warp is a pure
-            # reindexing (two axis takes) that commutes with every later
-            # elementwise op, and warp duplication inflates the occupied-
-            # cell count ~1.5x — so the host applies it after decode
-            # (ops/warp.warp_dense_maps_np) and the sparse fetch stays at
-            # pre-warp occupancy.
-            maps = warp_ops.warp_dense_maps(maps, params.warp_a1,
-                                            params.warp_a2, params.warp_b1,
-                                            params.warp_b2)
-
-        dense = finalize_dense(maps, len(meta), int_scaler, int_sep_scaler,
-                               int_mid_threshold)
-        if pack != 'sparse':
-            return dense
-        counts = maps[len(meta) * len(_SPLIT_CHANNELS):]
-        return sparse_outputs(dense, counts, P, sparse_cap, len(meta))
+                for key in ('road', 'intensity', 'rgb', 'dynamic',
+                            'elevation'):
+                    chs[f'{key}_{name}'] = ch[key]
+            return _emit_outputs(chs, meta, pack, params, P, view_size,
+                                 int_scaler, int_sep_scaler,
+                                 int_mid_threshold, sparse_cap)
 
     return jax.jit(raster, static_argnames=('gen_future',))
 

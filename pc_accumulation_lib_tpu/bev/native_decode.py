@@ -32,6 +32,8 @@ _lib_failed = False
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
+    if _lib is not None:      # lock-free fast path: available() runs per
+        return _lib           # decoded sample on the 2-thread harvest pool
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib

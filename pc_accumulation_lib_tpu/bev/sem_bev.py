@@ -408,7 +408,9 @@ class SemBEVGenerator:
                 r = self._assemble(
                     self._fetch_stack(o, gen_future, w, raw=raw), trajs,
                     rot_ang, dx, dy, zoom * self.view_size, w, gen_future)
-                work_s[0] += _time.perf_counter() - t0
+                dt = _time.perf_counter() - t0
+                with self._telemetry_lock:   # 2 workers race on +=
+                    work_s[0] += dt
                 return r
 
             t_wall = _time.perf_counter()

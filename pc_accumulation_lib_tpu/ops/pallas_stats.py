@@ -251,10 +251,13 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
 
     Args:
       sorted_keys: (1, Npad) int32 ascending group ids (pad = num_groups).
-      weights_t: (W_PAD, Npad) float32; rows 0..W_PAD-2 are summed weights
-        (row 0 MUST be the all-ones count row when med_rows is used — the
-        median thresholds read it), row W_PAD-1 is z (min-reduced). Npad
-        must be a multiple of CHUNK with at least CHUNK of padding slack.
+      weights_t: (W_PAD, Npad) float32; rows 0..3 are SUMMED weights (the
+        kernel's sums-matmul lhs is exactly these 4 rows — output rows
+        4-5 carry the z-min scan and boundary count instead; row 0 MUST
+        be the all-ones count row when med_rows is used — the median
+        thresholds read it), rows 4..W_PAD-2 may hold u8 value rows for
+        med_rows, row W_PAD-1 is z (min-reduced). Npad must be a multiple
+        of CHUNK with at least CHUNK of padding slack.
       win_start/win_len: (num_windows,) int32 point ranges per WIN-group
         window (from a coarse searchsorted).
       num_groups: static; multiple of WIN.
@@ -358,6 +361,11 @@ def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
                    constant_values=num_groups)[None, :]
     rows = list(weight_rows)
     vals = list(value_rows)
+    # The kernel's sums matmul takes exactly wt rows 0..3 as its lhs
+    # (rows 4-5 of the OUTPUT carry the scan-min and boundary count, see
+    # window_stats) — a 5th weight row would be silently replaced by the
+    # min accumulation, not summed.
+    assert len(rows) <= 4, f'at most 4 summed weight rows, got {len(rows)}'
     assert len(rows) + len(vals) <= W_PAD - 1
     wt = jnp.zeros((W_PAD, n_pad), jnp.float32)
     for i, r in enumerate(rows):
