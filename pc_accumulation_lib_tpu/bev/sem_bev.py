@@ -115,7 +115,7 @@ class SemBEVGenerator:
         # Adaptive sparse fetch: the value sections are packed by ACTUAL
         # occupancy (bev/core._pack_sparse), so the fetch ships only
         # header+used bytes (+10% and a 2-step growth extrapolation,
-        # rounded to 32 KiB buckets so slice shapes stay few). The hint
+        # rounded to 16 KiB buckets so slice shapes stay few). The hint
         # updates on step boundaries (_note_step_boundary) and trails
         # observed usage by 1-2 steps; a sample that outgrows it raises
         # SparseShortFetch and refetches its full buffer (counted below,
@@ -459,13 +459,15 @@ class SemBEVGenerator:
         step-over-step growth (the hint trails dispatch by 1-2 steps, so
         while the accumulation window is still FILLING — occupancy rising
         every step — the slope term is what keeps the whole next step
-        from short-fetching) rounded up to a 32 KiB bucket."""
+        from short-fetching) rounded up to a 16 KiB bucket (the
+        resulting slice-shape variety is bounded and persistently
+        compile-cached)."""
         with self._telemetry_lock:
             for S, cur in self._step_used_max.items():
                 prev = self._prev_step_used_max.get(S)
                 slope = 0 if prev is None else max(0, cur - prev)
                 hint = int((cur + 2 * slope) * 1.10)
-                self._fetch_hint_bytes[S] = -(-hint // 32768) * 32768
+                self._fetch_hint_bytes[S] = -(-hint // 16384) * 16384
                 self._prev_step_used_max[S] = cur
             self._step_used_max.clear()
 
