@@ -159,6 +159,7 @@ class SemBEVGenerator:
         self._prep_interpret = False
         self._prep_fn = None
         self._raster_prepped = None
+        self._raster_prepped_group = None
 
     @property
     def _prepped_ok(self) -> bool:
@@ -185,6 +186,19 @@ class SemBEVGenerator:
                 sparse_cap=self.sparse_cap,
                 pallas_interpret=self._prep_interpret)
         return self._raster_prepped
+
+    def _get_prepped_raster_group(self):
+        """Jitted scan-of-a-fetch-group of prepped rasters (ONE dispatch
+        per group instead of per sample — core.make_prepped_raster_group_fn;
+        distinct group lengths jit-cache as distinct shapes)."""
+        if self._raster_prepped_group is None:
+            self._raster_prepped_group = core.make_prepped_raster_group_fn(
+                self.view_size, self.pixel_size, self.int_scaler,
+                self.int_sep_scaler, self.int_mid_threshold, self.rgb_fill,
+                pack='sparse' if self.fetch_dtype == 'sparse' else None,
+                sparse_cap=self.sparse_cap,
+                pallas_interpret=self._prep_interpret)
+        return self._raster_prepped_group
 
     # ------------------------------------------------------------------
     # Augmentation parameter draws (host RNG)
@@ -349,16 +363,48 @@ class SemBEVGenerator:
                 'is heading-aligned and needs host poses at dispatch. '
                 'Use integrate() + generate_bev().')
         hf = np.inf if self.height_filter is None else self.height_filter
-        raster_prepped = (self._get_prepped_raster()
-                          if prepped is not None else None)
-        draws, outs = [], []
+        draws, aug9s = [], []
         for _ in range(n_samples):
             rot_ang, dx, dy, zoom = self._draw_geom_aug()
             w = self._draw_warp()
-            aug9 = np.array(
+            aug9s.append(np.array(
                 [rot_ang, dx, dy, zoom, w['a1'], w['a2'], w['b1'], w['b2'],
-                 hf], np.float32)
+                 hf], np.float32))
             draws.append((rot_ang, dx, dy, zoom, w))
+        if prepped is not None and self.fetch_dtype == 'sparse' \
+                and n_samples > 1:
+            # ONE dispatch per fetch group (a lax.scan over the group's
+            # aug draws): each eager submission is a control round on the
+            # remote-TPU tunnel, and 16 of them measured 40-120 ms/step
+            # of main-thread time depending on tunnel congestion. The
+            # scan output IS the stacked group, so the stack op per
+            # group disappears too. (n_samples == 1 — e.g. bev_num=1 —
+            # keeps the per-sample raster: a length-1 scan would pay its
+            # own compile for no dispatch win.)
+            ref_xyz, packed, packed2 = prepped
+            gfn = self._get_prepped_raster_group()
+            fetch_group = max(1, fetch_group)
+            outs, groups = [], []
+            for g0 in range(0, n_samples, fetch_group):
+                aug_g = np.stack(aug9s[g0:g0 + fetch_group])
+                sp_g, dn_g = gfn(ref_xyz, valid, pt_frame_ids, packed,
+                                 packed2, pose_vec, aug_g, gen_future)
+                groups.append(self._start_fetch(sp_g, gen_future))
+                for r in range(aug_g.shape[0]):
+                    # Lazy per-row getters: eager device row views would
+                    # re-add the per-sample dispatches this path removes;
+                    # the getters only run on the rare short-fetch /
+                    # overflow fallbacks (_fetch_stack).
+                    outs.append(
+                        (lambda a=sp_g, i=r: np.asarray(a)[i],
+                         lambda a=dn_g, i=r: np.asarray(a)[i]))
+            return self._make_device_finalize(outs, draws, groups,
+                                              fetch_group, n_samples,
+                                              gen_future, trajs_fn)
+        raster_prepped = (self._get_prepped_raster()
+                          if prepped is not None else None)
+        outs = []
+        for aug9 in aug9s:
             # Tuple form: the pose_vec||aug concat happens inside the
             # raster jit (one dispatch per sample instead of two).
             if prepped is not None:
@@ -392,7 +438,13 @@ class SemBEVGenerator:
                     s.copy_to_host_async()
                 except Exception:
                     pass
+        return self._make_device_finalize(outs, draws, groups, fetch_group,
+                                          n_samples, gen_future, trajs_fn)
 
+    def _make_device_finalize(self, outs, draws, groups, fetch_group,
+                              n_samples, gen_future, trajs_fn):
+        """Deferred harvest closure for generate_samples_device: grouped
+        transfer waits + threaded decode/assemble + hint update."""
         def finalize() -> List[Dict]:
             trajs = trajs_fn()
             # Decode + host-warp + assemble (~5 ms numpy each, GIL mostly
@@ -498,8 +550,14 @@ class SemBEVGenerator:
         fetches, generate_samples_device)."""
         if self.fetch_dtype == 'sparse':
             sparse, dense = out
+            # Grouped dispatch hands per-sample fallbacks as LAZY getters
+            # (device row views would cost per-sample dispatches).
+            fetch_full = (sparse if callable(sparse)
+                          else lambda: np.asarray(sparse))
+            fetch_dense = (dense if callable(dense)
+                           else lambda: np.asarray(dense))
             if raw is None:
-                raw = np.asarray(sparse)
+                raw = fetch_full()
             S = 3 if gen_future else 1
             if raw.shape[-1] < core.sparse_header_bytes(self.pixel_size,
                                                         gen_future):
@@ -508,7 +566,7 @@ class SemBEVGenerator:
                 # refetch the full buffer before reading anything.
                 with self._telemetry_lock:
                     self.sparse_short_fetches += 1
-                raw = np.asarray(sparse)
+                raw = fetch_full()
             n_occs = core.read_sparse_noccs(raw, self.pixel_size,
                                             gen_future)
             used = core.sparse_used_bytes(raw, self.pixel_size, gen_future)
@@ -544,12 +602,12 @@ class SemBEVGenerator:
                     # the full cap-sized buffer (rare; hint adapts).
                     with self._telemetry_lock:
                         self.sparse_short_fetches += 1
-                    stack, warped = _decode(np.asarray(sparse))
+                    stack, warped = _decode(fetch_full())
             except core.SparseOverflow:
                 with self._telemetry_lock:
                     self.sparse_overflows += 1
                 stack = core.decode_dense_words(
-                    np.asarray(dense), gen_future, self.pixel_size)
+                    fetch_dense(), gen_future, self.pixel_size)
                 warped = False
             if not warped and w is not None and w['active']:
                 stack = warp_ops.warp_dense_maps_np(
