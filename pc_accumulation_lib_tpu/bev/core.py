@@ -288,19 +288,12 @@ def make_prep_fn(sem_idxs):
     return jax.jit(prep)
 
 
-def make_prepped_raster_fn(view_size, pixel_size, int_scaler, int_sep_scaler,
-                           int_mid_threshold, rgb_fill=0, pack=None,
-                           sparse_cap=None, hist_medians=True,
-                           pallas_interpret=False):
-    """Per-sample raster over make_prep_fn outputs (accum.step fast path).
-
-    Identical outputs to make_raster_fn's sort+Pallas path (pinned by
-    tests/test_step_pipeline.py and the on-chip `bench.py --selftest`
-    part 2), but the per-sample work is only what actually depends on the
-    augmentation draw: the in-plane rotate/translate, the view crop/height
-    masks, the cell ids, the 3-operand main sort and the segmented-stats
-    kernel. Requires the Pallas kernel (real TPU or interpret mode).
-    """
+def _make_prepped_raster_body(view_size, pixel_size, int_scaler,
+                              int_sep_scaler, int_mid_threshold, rgb_fill=0,
+                              pack=None, sparse_cap=None, hist_medians=True,
+                              pallas_interpret=False):
+    """Unjitted body shared by make_prepped_raster_fn (per-sample jit)
+    and make_prepped_raster_group_fn (lax.scan over a fetch group)."""
     P = pixel_size
     if sparse_cap is None:
         sparse_cap = default_sparse_cap(P)
@@ -336,9 +329,21 @@ def make_prepped_raster_fn(view_size, pixel_size, int_scaler, int_sep_scaler,
                              int_scaler, int_sep_scaler, int_mid_threshold,
                              sparse_cap)
 
-    fn = jax.jit(raster, static_argnames=('gen_future',))
-    fn.raster_body = raster   # unjitted body (make_prepped_raster_group_fn)
-    return fn
+    return raster
+
+
+def make_prepped_raster_fn(*args, **kwargs):
+    """Per-sample raster over make_prep_fn outputs (accum.step fast path).
+
+    Identical outputs to make_raster_fn's sort+Pallas path (pinned by
+    tests/test_step_pipeline.py and the on-chip `bench.py --selftest`
+    part 2), but the per-sample work is only what actually depends on the
+    augmentation draw: the in-plane rotate/translate, the view crop/height
+    masks, the cell ids, the 3-operand main sort and the segmented-stats
+    kernel. Requires the Pallas kernel (real TPU or interpret mode).
+    """
+    return jax.jit(_make_prepped_raster_body(*args, **kwargs),
+                   static_argnames=('gen_future',))
 
 
 def make_prepped_raster_group_fn(*args, **kwargs):
@@ -354,7 +359,7 @@ def make_prepped_raster_group_fn(*args, **kwargs):
     depending on tunnel congestion. The group fetch already waits for
     all G members before its stacked async copy (sem_bev
     generate_samples_device), so transfer start times are unchanged."""
-    body = make_prepped_raster_fn(*args, **kwargs).raster_body
+    body = _make_prepped_raster_body(*args, **kwargs)
 
     def raster_group(ref_xyz, valid, pt_frame_ids, packed, packed2,
                      pose_vec, aug9s, gen_future):

@@ -160,6 +160,9 @@ class SemBEVGenerator:
         self._prep_fn = None
         self._raster_prepped = None
         self._raster_prepped_group = None
+        # Escape hatch: force per-sample dispatch even where the grouped
+        # lax.scan path applies (tests pin grouped == per-sample).
+        self._force_ungrouped_dispatch = False
 
     @property
     def _prepped_ok(self) -> bool:
@@ -372,7 +375,7 @@ class SemBEVGenerator:
                  hf], np.float32))
             draws.append((rot_ang, dx, dy, zoom, w))
         if prepped is not None and self.fetch_dtype == 'sparse' \
-                and n_samples > 1:
+                and n_samples > 1 and not self._force_ungrouped_dispatch:
             # ONE dispatch per fetch group (a lax.scan over the group's
             # aug draws): each eager submission is a control round on the
             # remote-TPU tunnel, and 16 of them measured 40-120 ms/step
@@ -394,10 +397,13 @@ class SemBEVGenerator:
                     # Lazy per-row getters: eager device row views would
                     # re-add the per-sample dispatches this path removes;
                     # the getters only run on the rare short-fetch /
-                    # overflow fallbacks (_fetch_stack).
+                    # overflow fallbacks (_fetch_stack), where they slice
+                    # the row ON DEVICE first — fetching the whole group
+                    # (G x cap buffers, tens of MB at P=512) through the
+                    # tunnel for one sample would stall seconds.
                     outs.append(
-                        (lambda a=sp_g, i=r: np.asarray(a)[i],
-                         lambda a=dn_g, i=r: np.asarray(a)[i]))
+                        (lambda a=sp_g, i=r: np.asarray(a[i]),
+                         lambda a=dn_g, i=r: np.asarray(a[i])))
             return self._make_device_finalize(outs, draws, groups,
                                               fetch_group, n_samples,
                                               gen_future, trajs_fn)

@@ -19,7 +19,7 @@ N_FRAMES = 12
 HORIZON = 12.0  # crossed around frame 7 at 2 m steps -> eviction exercised
 
 
-def _make_accum(seed=0):
+def _make_accum(seed=0, **bev_extra):
     H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
     calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
                  p_velo_frame=P_cam_frame @ H_velo_cam)
@@ -29,7 +29,7 @@ def _make_accum(seed=0):
     bev_params = dict(type='sem', view_size=40, pixel_size=64,
                       max_trans_radius=2.0, zoom_thresh=0.05, do_warp=True,
                       int_scaler=20., int_sep_scaler=20.,
-                      int_mid_threshold=0.5)
+                      int_mid_threshold=0.5, **bev_extra)
     return Kitti360SemanticPointCloudAccumulator(
         HORIZON, calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
         cfg.DEFAULT_SEM_IDXS, True, bev_params, accum_cfg=accum_cfg,
@@ -360,6 +360,49 @@ def test_step_compaction_overflow_raises():
     a.integrate([frames[0]])
     with pytest.raises(RuntimeError, match='compact_cap'):
         a.step([frames[1]], bev_num=1, gen_future=True)
+
+
+def test_step_grouped_scan_dispatch_sparse():
+    """The PRODUCTION bench path — step() with sparse fetch + prepped
+    raster — dispatches each fetch group as ONE lax.scan
+    (core.make_prepped_raster_group_fn). Pin it two ways: bit-identical
+    to the per-sample prepped dispatch (same RNG draws, grouping must not
+    change any output), and equal to the classic step path within the
+    boundary-flip tolerance (device rigid inverse vs host f64 inv can
+    flip points on exact cell boundaries; cf. test_bev_maps_match and
+    bench.py --selftest part 2)."""
+    frames = _frames()
+
+    def make(seed, force_ungrouped=False):
+        a = _make_accum(seed, fetch_dtype='sparse', sparse_cap=3072)
+        g = a.sem_bev_generator
+        g.use_prepped_raster = True
+        g._prep_interpret = True
+        g._force_ungrouped_dispatch = force_ungrouped
+        return a
+
+    a_grp, a_ung, a_cls = make(11), make(11, force_ungrouped=True), \
+        _make_accum(seed=11, fetch_dtype='sparse', sparse_cap=3072)
+    for a in (a_grp, a_ung, a_cls):
+        a.integrate([frames[0]])
+    for i in range(1, 4):
+        bg = a_grp.step([frames[i]], bev_num=4, gen_future=True)
+        bu = a_ung.step([frames[i]], bev_num=4, gen_future=True)
+        bc = a_cls.step([frames[i]], bev_num=4, gen_future=True)
+        assert len(bg) == len(bu) == len(bc) == 4
+        for sg, su, sc in zip(bg, bu, bc):
+            for k in sg:
+                if k.startswith('trajs') or k == 'gt_lanes':
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(sg[k]), np.asarray(su[k]),
+                    err_msg=f'grouped != per-sample: {k}')
+                mism = np.mean(np.abs(np.asarray(sg[k], np.float32)
+                                      - np.asarray(sc[k], np.float32))
+                               > 2e-2)
+                assert mism < 0.02, (k, mism)
+    gen = a_grp.sem_bev_generator
+    assert gen.sparse_overflows == 0, 'grouped path fell back to dense'
 
 
 def test_step_prepped_raster_matches_classic():
