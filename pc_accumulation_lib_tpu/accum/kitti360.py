@@ -96,9 +96,11 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         rgb(H,W,3)->class-map(H,W) (e.g. models.semseg.SemSegTPU) instead of
         an ONNX path.
 
-        ``transfer_dtype='quantized'`` uploads point clouds as 5 mm
-        fixed-point int16 and images as uint8 (2.5x fewer host->device
-        bytes; matters on remote-TPU links), dequantized on device."""
+        ``transfer_dtype='quantized'`` uploads point clouds packed at
+        7 B/point (xyz as 5 mm fixed-point int16, intensity as uint8 at
+        the same x200 scale — identical quantized values, one byte less)
+        and images as uint8 (~2.9x fewer host->device bytes than float32;
+        matters on remote-TPU links), dequantized on device."""
         super().__init__(horizon_dist, icp_threshold, semseg_model,
                          semseg_filters, sem_idxs, use_gt_sem, bev_params,
                          accum_cfg, seed)
@@ -153,8 +155,22 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         max_corr = jnp.float32(self.icp_cfg.max_corr_dist)
         horizon = jnp.float32(self.horizon_dist)
 
+        n_cap = self.accum_cfg.max_points_per_frame
+
         def dequant(pc_pad):
-            if pc_pad.dtype == jnp.int16:   # quantized transfer (5 mm)
+            if pc_pad.dtype == jnp.uint8:
+                # Packed quantized transfer (7 B/point): xyz as 5 mm i16
+                # bytes, intensity as u8 at the SAME x200 scale (it is
+                # [0,1], so u8 holds the identical quantized values the
+                # old i16 column did — one byte less per point on the
+                # tunnel, bit-identical decode).
+                xyz = jax.lax.bitcast_convert_type(
+                    pc_pad[:6 * n_cap].reshape(n_cap, 3, 2), jnp.int16)
+                inten = pc_pad[6 * n_cap:]
+                return jnp.concatenate(
+                    [xyz.astype(jnp.float32), inten.astype(jnp.float32)
+                     [:, None]], axis=1) * (1.0 / 200.0)
+            if pc_pad.dtype == jnp.int16:   # legacy quantized (8 B/point)
                 return pc_pad.astype(jnp.float32) * (1.0 / 200.0)
             return pc_pad
 
@@ -235,8 +251,16 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 f'Frame has {n} points > max_points_per_frame={n_cap}; '
                 'raise AccumConfig.max_points_per_frame.')
         if self.transfer_dtype == 'quantized':
-            out = np.zeros((n_cap, pc.shape[1]), np.int16)
-            out[:n] = np.clip(np.round(pc * 200.0), -32768, 32767)
+            # Packed 7 B/point: xyz as 5 mm i16, intensity as u8 at the
+            # same x200 scale ([0,1] range -> 0..200 fits u8 exactly, so
+            # the decode is bit-identical to the old (N,4) i16 column at
+            # 12.5% fewer upload bytes). Inverse: dequant() in the fused
+            # integrate.
+            xyz = np.zeros((n_cap, 3), np.int16)
+            xyz[:n] = np.clip(np.round(pc[:, :3] * 200.0), -32768, 32767)
+            inten = np.zeros(n_cap, np.uint8)
+            inten[:n] = np.clip(np.round(pc[:, 3] * 200.0), 0, 255)
+            out = np.concatenate([xyz.view(np.uint8).reshape(-1), inten])
         else:
             out = np.zeros((n_cap, pc.shape[1]), np.float32)
             out[:n] = pc

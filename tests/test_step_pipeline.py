@@ -19,7 +19,7 @@ N_FRAMES = 12
 HORIZON = 12.0  # crossed around frame 7 at 2 m steps -> eviction exercised
 
 
-def _make_accum(seed=0, **bev_extra):
+def _make_accum(seed=0, transfer_dtype='float32', **bev_extra):
     H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
     calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
                  p_velo_frame=P_cam_frame @ H_velo_cam)
@@ -33,7 +33,7 @@ def _make_accum(seed=0, **bev_extra):
     return Kitti360SemanticPointCloudAccumulator(
         HORIZON, calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
         cfg.DEFAULT_SEM_IDXS, True, bev_params, accum_cfg=accum_cfg,
-        icp_cfg=icp_cfg, seed=seed)
+        icp_cfg=icp_cfg, seed=seed, transfer_dtype=transfer_dtype)
 
 
 def _frames():
@@ -403,6 +403,59 @@ def test_step_grouped_scan_dispatch_sparse():
                 assert mism < 0.02, (k, mism)
     gen = a_grp.sem_bev_generator
     assert gen.sparse_overflows == 0, 'grouped path fell back to dense'
+
+
+def test_quantized_transfer_decode_exact_and_equivalent():
+    """transfer_dtype='quantized' (the bench upload encoding, packed
+    7 B/point: 5 mm i16 xyz + u8 intensity at the same x200 scale) must
+    decode to EXACTLY round(pc*200)/200 on device, and the end-to-end
+    accumulation must match the float32-transfer path within the 5 mm
+    input-quantization effect."""
+    import jax.numpy as jnp
+    frames = _frames()
+    a_q = _make_accum(seed=5, transfer_dtype='quantized')
+    # Decode unit check against the host-side quantization oracle.
+    pc = frames[0][1]
+    pc_pad, valid = a_q._pad_pc(np.asarray(pc, np.float32))
+    assert pc_pad.dtype == jnp.uint8
+    n_cap = a_q.accum_cfg.max_points_per_frame
+    assert pc_pad.shape == (7 * n_cap,)
+    xyz = np.asarray(
+        jnp.asarray(np.frombuffer(np.asarray(pc_pad)[:6 * n_cap].tobytes(),
+                                  np.int16).reshape(n_cap, 3), jnp.float32))
+    # Oracle in f32, matching _pad_pc's arithmetic (f64 would round
+    # differently on exact .5 boundaries).
+    want = np.round(np.asarray(pc, np.float32) * np.float32(200.0))
+    n = pc.shape[0]
+    np.testing.assert_array_equal(xyz[:n], want[:, :3])
+    np.testing.assert_array_equal(
+        np.asarray(pc_pad)[6 * n_cap:6 * n_cap + n].astype(np.float32),
+        want[:, 3])
+    # End-to-end: quantized vs float32 transfer, same RNG.
+    a_f = _make_accum(seed=5, transfer_dtype='float32')
+    a_q.integrate([frames[0]])
+    a_f.integrate([frames[0]])
+    for i in range(1, 4):
+        bq = a_q.step([frames[i]], bev_num=2, gen_future=True)
+        bf = a_f.step([frames[i]], bev_num=2, gen_future=True)
+        assert a_q.window_start == a_f.window_start
+        np.testing.assert_allclose(np.array(a_q.poses),
+                                   np.array(a_f.poses), atol=2e-2)
+        for sq, sf in zip(bq, bf):
+            for k in sq:
+                if k.startswith('trajs') or k == 'gt_lanes':
+                    continue
+                # 5 mm input quantization shifts the ICP pose estimates
+                # slightly; the resulting near-rigid map offset moves a
+                # few percent of boundary cells. Compare by mismatch
+                # fraction with headroom for that pose amplification
+                # (at P=64 a 2 cm pose shift flips several percent of
+                # boundary cells; the poses assertion above is the tight
+                # one).
+                mism = np.mean(np.abs(np.asarray(sq[k], np.float32)
+                                      - np.asarray(sf[k], np.float32))
+                               > 2e-2)
+                assert mism < 0.08, (k, mism)
 
 
 def test_step_prepped_raster_matches_classic():
