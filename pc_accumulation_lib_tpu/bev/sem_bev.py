@@ -126,6 +126,7 @@ class SemBEVGenerator:
         self.sparse_short_fetches = 0
         self._fetch_hint_bytes = {}        # {S: bytes}
         self._step_used_max = {}           # {S: bytes}
+        self._step_used_n = {}             # {S: samples this step}
         self._prev_step_used_max = {}      # {S: bytes}
         self._harvest_pool = None          # lazy persistent decode pool
         # Last finalize's harvest split: per-group transfer waits vs total
@@ -523,11 +524,19 @@ class SemBEVGenerator:
         with self._telemetry_lock:
             for S, cur in self._step_used_max.items():
                 prev = self._prev_step_used_max.get(S)
+                if (prev is not None and cur < prev
+                        and self._step_used_n.get(S, 0) < 4):
+                    # A 1-3 sample step's max is a biased-low estimator —
+                    # e.g. a bev_num=1 step interleaved with 16-sample
+                    # steps would shrink the hint and short the whole
+                    # next big step. Only shrink on representative steps.
+                    continue
                 slope = 0 if prev is None else max(0, cur - prev)
                 hint = int((cur + 2 * slope) * 1.10)
                 self._fetch_hint_bytes[S] = -(-hint // 16384) * 16384
                 self._prev_step_used_max[S] = cur
             self._step_used_max.clear()
+            self._step_used_n.clear()
 
     def _start_fetch(self, arr, gen_future=True):
         """Begin the device->host copy of one sparse buffer (or a stacked
@@ -586,6 +595,7 @@ class SemBEVGenerator:
                     self.sum_occupied_split[i] += int(n_occs[i])
                 self._step_used_max[S] = max(self._step_used_max.get(S, 0),
                                              used)
+                self._step_used_n[S] = self._step_used_n.get(S, 0) + 1
 
             def _decode(r):
                 """-> (stack, already_warped)."""
