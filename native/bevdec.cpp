@@ -29,7 +29,9 @@ namespace {
 // rank_table[cell] = index of this cell among occupied cells (ascending
 // cell order) if occupied, else -1. Matches the argsort-compaction order
 // of bev/core.py _pack_sparse (occupied cells taken in ascending index).
-void build_rank(const uint8_t* mask, int n_cells, int32_t* rank) {
+// Returns the total occupied count (mask popcount) for the caller's
+// header cross-check.
+int32_t build_rank(const uint8_t* mask, int n_cells, int32_t* rank) {
   int32_t r = 0;
   for (int b = 0; b < n_cells / 8; ++b) {
     uint8_t m = mask[b];
@@ -39,6 +41,7 @@ void build_rank(const uint8_t* mask, int n_cells, int32_t* rank) {
       rank[base + k] = (m & (0x80u >> k)) ? r++ : -1;
     }
   }
+  return r;
 }
 
 }  // namespace
@@ -69,7 +72,8 @@ extern "C" {
 // Returns 0 on success; (split index + 1) when that split's occupied-cell
 // count exceeds its capacity (caller falls back to the dense fetch); -2
 // when the buffer is truncated below the used bytes (caller refetches the
-// full buffer); -1 on a buffer shorter than its own header.
+// full buffer); -1 on a malformed buffer (shorter than its own header, or
+// a mask popcount disagreeing with the header n_occ).
 int bevdec_decode(const uint8_t* raw, long raw_len, int P, int S, int cap0,
                   int cap1, int cap2, const uint16_t* lut,
                   const uint16_t* empty, const int32_t* row_src,
@@ -107,12 +111,19 @@ int bevdec_decode(const uint8_t* raw, long raw_len, int P, int S, int cap0,
     ov_mask = new uint8_t[n_mask];
     rank_cells = n_cells;
   }
+  // Cross-check each mask's popcount against its header n_occ: the decode
+  // loop indexes value rows by rank (mask popcount order), so a buffer
+  // whose popcount exceeded its header count would read past raw_len on a
+  // truncated adaptive fetch. Not reachable from this repo's encoder —
+  // guards against corrupt/hostile buffers only.
   for (int m = 0; m < n_masks; ++m) {
-    build_rank(masks + (long)m * n_mask, n_cells, ranks[m]);
+    if (build_rank(masks + (long)m * n_mask, n_cells, ranks[m]) != n_occ[m]) {
+      return -1;
+    }
   }
   if (S == 3) {
     for (int b = 0; b < n_mask; ++b) ov_mask[b] = masks[b] & masks[n_mask + b];
-    build_rank(ov_mask, n_cells, ranks[2]);
+    if (build_rank(ov_mask, n_cells, ranks[2]) != n_occ[2]) return -1;
   }
 
   // Flat warped source index per output pixel.

@@ -259,7 +259,17 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             xyz = np.zeros((n_cap, 3), np.int16)
             xyz[:n] = np.clip(np.round(pc[:, :3] * 200.0), -32768, 32767)
             inten = np.zeros(n_cap, np.uint8)
-            inten[:n] = np.clip(np.round(pc[:, 3] * 200.0), 0, 255)
+            scaled = np.round(pc[:n, 3] * 200.0)
+            if n and (scaled.min() < 0 or scaled.max() > 255):
+                # u8 covers intensity in [0, 1.275] at the x200 scale
+                # (KITTI remission is [0,1]). A dataset with unnormalized
+                # remission must fail loudly, not silently clamp —
+                # use transfer_dtype='float32' for such data.
+                raise ValueError(
+                    f'quantized upload: intensity range '
+                    f'[{pc[:n, 3].min():.4g}, {pc[:n, 3].max():.4g}] '
+                    f'outside the u8-representable [0, 1.275]')
+            inten[:n] = scaled
             out = np.concatenate([xyz.view(np.uint8).reshape(-1), inten])
         else:
             out = np.zeros((n_cap, pc.shape[1]), np.float32)

@@ -129,6 +129,7 @@ class SemBEVGenerator:
         self._step_used_n = {}             # {S: samples this step}
         self._prev_step_used_max = {}      # {S: bytes}
         self._harvest_pool = None          # lazy persistent decode pool
+        self._pool_finalizer = None        # weakref shutdown for the pool
         # Last finalize's harvest split: per-group transfer waits vs total
         # decode/assemble CPU seconds (tools/profile_harvest.py).
         self.last_harvest = None
@@ -164,6 +165,14 @@ class SemBEVGenerator:
         # Escape hatch: force per-sample dispatch even where the grouped
         # lax.scan path applies (tests pin grouped == per-sample).
         self._force_ungrouped_dispatch = False
+
+    def close(self):
+        """Release the persistent harvest/decode thread pool (also runs
+        automatically when the generator is garbage-collected)."""
+        if self._pool_finalizer is not None:
+            self._pool_finalizer()
+            self._pool_finalizer = None
+        self._harvest_pool = None
 
     @property
     def _prepped_ok(self) -> bool:
@@ -482,6 +491,16 @@ class SemBEVGenerator:
             if self._harvest_pool is None:
                 self._harvest_pool = ThreadPoolExecutor(
                     max_workers=2, thread_name_prefix='bev-decode')
+                # The pool (2 threads + their native thread_local decode
+                # tables) must not outlive the generator: a long-lived
+                # process creating many generators would otherwise
+                # accumulate them for the process lifetime. weakref keeps
+                # the generator itself collectable (a __del__ or a bound
+                # method would pin it); close() offers the explicit form.
+                import weakref
+                self._pool_finalizer = weakref.finalize(
+                    self, ThreadPoolExecutor.shutdown, self._harvest_pool,
+                    wait=False)
             ex = self._harvest_pool
             futs = []
             for g0 in range(0, n_samples, fetch_group):

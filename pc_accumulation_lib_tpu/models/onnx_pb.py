@@ -134,7 +134,13 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
                 v, pos = _read_varint(mv, pos)
                 vals.append(v)
         vals.extend(unpacked_ints[field])
-        half = 1 << (bits - 1)
+        # Proto varints are sign-extended to 64 bits (int32 -1 arrives as
+        # 2^64-1). Mask to 64 then to the target width BEFORE the two's-
+        # complement adjust so every element is an in-range python int —
+        # otherwise np.asarray can promote a mixed list to float64 and
+        # silently corrupt values.
+        half, width_mask = 1 << (bits - 1), (1 << bits) - 1
+        vals = [(v & ((1 << 64) - 1)) & width_mask for v in vals]
         return [v - (1 << bits) if v >= half else v for v in vals]
 
     if raw is not None:

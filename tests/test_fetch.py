@@ -272,3 +272,15 @@ def test_native_decode_overflow_short_and_malformed(rng):
     with pytest.raises(ValueError):
         native_decode.decode_sparse_warp(raw[:100], True, P, caps, empty,
                                          None)
+    # Mask popcount disagreeing with the header n_occ: malformed (the
+    # decode indexes value rows by mask rank, so trusting the smaller
+    # header count would read past the buffer on an adaptive fetch).
+    bad_mask = np.zeros(P * P // 8, np.uint8)
+    bad_mask[0] = 0xF8                       # popcount 5
+    n_occ3 = np.array([3, 0, 0], np.int32)   # header claims 3
+    mismatch = np.concatenate(
+        [bad_mask, np.zeros(P * P // 8, np.uint8), n_occ3.view(np.uint8),
+         np.zeros(4, np.uint8), np.zeros(5 * 8, np.uint8)])
+    with pytest.raises(ValueError):
+        native_decode.decode_sparse_warp(mismatch, True, P, caps, empty,
+                                         None)

@@ -36,6 +36,22 @@ def _make_accum(seed=0, transfer_dtype='float32', **bev_extra):
         icp_cfg=icp_cfg, seed=seed, transfer_dtype=transfer_dtype)
 
 
+def test_quantized_upload_rejects_unnormalized_intensity():
+    """The packed u8 intensity covers [0, 1.275] at the x200 scale; a
+    dataset with unnormalized remission must fail loudly rather than
+    silently clamp (accum/kitti360.py _pad_pc)."""
+    a = _make_accum(seed=11, transfer_dtype='quantized')
+    pc = np.zeros((4, 4), np.float32)
+    pc[:, 3] = [0.0, 0.5, 1.0, 1.275]        # in-range: fine
+    a._pad_pc(pc)
+    pc[3, 3] = 100.0                          # raw (unnormalized) remission
+    with pytest.raises(ValueError, match='intensity'):
+        a._pad_pc(pc)
+    pc[3, 3] = -0.01                          # negative: u8 can't hold it
+    with pytest.raises(ValueError, match='intensity'):
+        a._pad_pc(pc)
+
+
 def _frames():
     stream = SyntheticKitti360Stream(n_frames=N_FRAMES, step=2.0,
                                      lidar_range=25.0, seed=3,
