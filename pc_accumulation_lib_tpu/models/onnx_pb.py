@@ -1,4 +1,4 @@
-"""Minimal ONNX ModelProto reader (no ``onnx`` package required).
+"""Minimal ONNX ModelProto reader + writer (no ``onnx`` package required).
 
 The reference pipeline's only use of the ONNX format is extracting the
 checkpoint's named weight tensors for the Flax port
@@ -9,7 +9,11 @@ the subset needed here (graph initializers: name, dims, data_type,
 raw/typed data) is small enough to read with a hand-rolled protobuf
 wire-format scanner. torch's legacy exporter can WRITE ModelProto without
 the onnx package, so the full export -> parse -> port -> forward-parity
-loop is testable hermetically (tests/test_onnx_port.py).
+loop is testable hermetically (tests/test_onnx_port.py). The inverse
+``write_initializers`` emits the same field subset, letting the framework
+export weight files consumable by standard ONNX tooling and letting tests
+synthesize real graph files (with Identity-alias nodes and every typed
+encoding) in any environment.
 
 Wire format (protobuf encoding spec): a message is a sequence of
 (tag varint = field_number << 3 | wire_type, payload) records;
@@ -162,6 +166,99 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
     else:
         arr = np.zeros(0, dtype=dtype)
     return name, arr.reshape(dims) if dims else arr
+
+
+_NP_TO_DT = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def _enc_varint(v: int) -> bytes:
+    """Protobuf varint encoding (non-negative int)."""
+    if v < 0:
+        raise ValueError('varint payloads must be pre-masked non-negative')
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _rec(field: int, wire: int, payload) -> bytes:
+    tag = _enc_varint(field << 3 | wire)
+    if wire == 0:
+        return tag + _enc_varint(payload)
+    if wire == 2:
+        return tag + _enc_varint(len(payload)) + bytes(payload)
+    raise ValueError(f'unsupported writer wire type {wire}')
+
+
+def _tensor_bytes(name: str, arr: np.ndarray, encoding: str) -> bytes:
+    """TensorProto wire bytes for one named array.
+
+    encoding='raw' stores the array as raw_data (field 9) — what real
+    exporters emit for weights. encoding='typed' uses the repeated typed
+    fields (float_data/int32_data/int64_data) with proto-conformant
+    packing, exercising the reader's other branches: negative varints are
+    sign-extended to 64 bits exactly like protoc does."""
+    arr = np.ascontiguousarray(arr)
+    dt = _NP_TO_DT.get(arr.dtype)
+    if dt is None:
+        raise ValueError(f'initializer {name!r}: unsupported dtype '
+                         f'{arr.dtype}')
+    out = bytearray()
+    for d in arr.shape:
+        out += _rec(1, 0, int(d))            # dims (unpacked varints)
+    out += _rec(2, 0, dt)                    # data_type
+    out += _rec(8, 2, name.encode('utf-8'))  # name
+    if encoding == 'raw':
+        out += _rec(9, 2, arr.tobytes())     # raw_data
+    elif encoding == 'typed':
+        flat = arr.reshape(-1)
+        if dt == 1:                          # float_data, packed fixed32
+            out += _rec(4, 2, flat.tobytes())
+        elif dt == 11:                       # double_data, packed fixed64
+            out += _rec(10, 2, flat.tobytes())
+        elif dt == 7:                        # int64_data, packed varints
+            payload = b''.join(_enc_varint(int(v) & ((1 << 64) - 1))
+                               for v in flat)
+            out += _rec(7, 2, payload)
+        elif dt in (2, 3, 4, 5, 6, 9, 10):   # int32_data, packed varints
+            ints = (flat.view(np.uint16) if dt == 10
+                    else flat).astype(np.int64)
+            payload = b''.join(_enc_varint(int(v) & ((1 << 64) - 1))
+                               for v in ints)
+            out += _rec(5, 2, payload)
+        else:
+            raise ValueError(f'typed encoding unsupported for dtype {dt}')
+    else:
+        raise ValueError(f'unknown encoding {encoding!r}')
+    return bytes(out)
+
+
+def write_initializers(path: str, named: Dict[str, np.ndarray],
+                       identities=(), encoding: str = 'raw') -> None:
+    """Write {name: ndarray} as an ONNX ModelProto — the exact inverse of
+    ``read_initializers`` (same onnx.proto3 field subset), needing no
+    ``onnx`` package. ``identities`` is an iterable of (src, dst) pairs
+    emitted as Identity nodes, mirroring exporter weight deduplication.
+    Lets tests synthesize real graph files hermetically, and gives the
+    framework an export path consumable by standard ONNX tooling."""
+    graph = bytearray()
+    for name, arr in named.items():
+        graph += _rec(5, 2, _tensor_bytes(name, arr, encoding))
+    for src, dst in identities:
+        node = (_rec(1, 2, src.encode('utf-8'))      # NodeProto.input
+                + _rec(2, 2, dst.encode('utf-8'))    # NodeProto.output
+                + _rec(4, 2, b'Identity'))           # NodeProto.op_type
+        graph += _rec(1, 2, node)                    # GraphProto.node
+    graph += _rec(2, 2, b'graph')                    # GraphProto.name
+    model = (_rec(1, 0, 8)                           # ModelProto.ir_version
+             + _rec(7, 2, bytes(graph)))             # ModelProto.graph
+    with open(path, 'wb') as f:
+        f.write(model)
 
 
 def read_initializers(path: str) -> Dict[str, np.ndarray]:

@@ -190,20 +190,63 @@ def test_onnx_pb_truncated_and_unpacked(tmp_path):
                                   np.array([1.5, -2.0], np.float32))
 
 
-def test_onnx_graph_port():
-    """Full ONNX path (skipped where the onnx package is unavailable)."""
-    onnx = pytest.importorskip('onnx')
-    from onnx import numpy_helper
+def test_onnx_graph_port(tmp_path):
+    """Full real-graph ONNX path, hermetic: synthesize a ModelProto file
+    with onnx_pb.write_initializers (the reader's inverse — no ``onnx``
+    package needed), then parse -> port -> exact tree reconstruction.
+    When the onnx package IS present, its own parser cross-validates the
+    writer's bytes (reference consumer: utils/onnx_utils.py:20-24)."""
+    from pc_accumulation_lib_tpu.models import onnx_pb
     model = ResNet50DilatedFCN(stage_sizes=(1, 1, 1, 1))
     variables = init_params(model, jax.random.PRNGKey(0), img_hw=(32, 64))
     named = onnx_port.export_named_tensors(variables)
-    inits = [numpy_helper.from_array(np.asarray(v, np.float32), name=k)
-             for k, v in named.items()]
-    graph = onnx.helper.make_graph([], 'g', [], [], initializer=inits)
-    m = onnx.helper.make_model(graph)
-    import tempfile, os
-    with tempfile.TemporaryDirectory() as d:
-        path = os.path.join(d, 'm.onnx')
-        onnx.save(m, path)
+    for encoding in ('raw', 'typed'):
+        path = str(tmp_path / f'm_{encoding}.onnx')
+        onnx_pb.write_initializers(path, named, encoding=encoding)
         rec = onnx_port.load_onnx_variables(path, variables=variables)
-    jax.tree_util.tree_map(np.testing.assert_array_equal, variables, rec)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, variables,
+                               rec)
+    try:
+        import onnx
+        from onnx import numpy_helper
+    except ImportError:
+        return
+    m = onnx.load(str(tmp_path / 'm_raw.onnx'))
+    ext = {t.name: numpy_helper.to_array(t) for t in m.graph.initializer}
+    assert set(ext) == set(named)
+    for k in named:
+        np.testing.assert_array_equal(ext[k], np.asarray(named[k]))
+
+
+def test_onnx_writer_typed_negatives_and_aliases(tmp_path):
+    """The writer's typed encoding must sign-extend negative varints to
+    64 bits like protoc (the reader masks them back down), across int32/
+    int64/int16/int8/uint8/bool/float16; Identity alias nodes must be
+    resolved to their source tensors (exporter weight deduplication)."""
+    from pc_accumulation_lib_tpu.models import onnx_pb
+    named = {
+        'i32': np.array([-1, -2147483648, 2147483647, 0], np.int32),
+        'i64': np.array([-1, -(1 << 62), (1 << 62), 7], np.int64),
+        'i16': np.array([[-5, 300], [7, -32768]], np.int16),
+        'i8': np.array([-128, 127, -1], np.int8),
+        'u8': np.array([0, 255, 17], np.uint8),
+        'b': np.array([True, False, True], np.bool_),
+        'f16': np.array([1.5, -2.25, 65504.0], np.float16),
+        'f32': np.arange(6, dtype=np.float32).reshape(2, 3) - 2.5,
+        'f64': np.array([1e-300, -3.25], np.float64),
+    }
+    for encoding in ('raw', 'typed'):
+        path = str(tmp_path / f't_{encoding}.onnx')
+        onnx_pb.write_initializers(
+            path, named, identities=[('f32', 'f32_alias'),
+                                     ('f32_alias', 'f32_alias2')],
+            encoding=encoding)
+        got = onnx_pb.read_initializers(path)
+        assert set(got) == set(named) | {'f32_alias', 'f32_alias2'}
+        for k, v in named.items():
+            assert got[k].dtype == v.dtype, (encoding, k)
+            np.testing.assert_array_equal(got[k], v, err_msg=f'{encoding}:{k}')
+        np.testing.assert_array_equal(got['f32_alias'], named['f32'])
+        # Alias chains resolve through intermediate aliases (nodes are
+        # topologically sorted, one pass).
+        np.testing.assert_array_equal(got['f32_alias2'], named['f32'])
