@@ -29,6 +29,12 @@ class CompletionManifest:
     def is_done(self, unit: str) -> bool:
         return unit in self._done
 
+    def get(self, unit: str) -> Optional[dict]:
+        """Completion record for ``unit`` (None if pending). Runners use
+        the recorded per-unit output counts to resume their sequential
+        bev/subdir numbering exactly where the crashed job left off."""
+        return self._done.get(unit)
+
     def mark_done(self, unit: str, **meta) -> None:
         rec = {'unit': unit, **meta}
         self._done[unit] = rec

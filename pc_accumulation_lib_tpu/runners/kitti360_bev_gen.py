@@ -40,15 +40,20 @@ def build_calib_params(kitti360_path: str) -> dict:
 
 def sampling_loop(sem_pc_accum, dataloader, sampling: cfg.SamplingConfig,
                   output: cfg.OutputConfig, gen_future: bool = True,
-                  batch_size: int = 1, on_bev=None) -> dict:
+                  batch_size: int = 1, on_bev=None,
+                  start_count: int = 0) -> dict:
     """Integrate + sample + write loop (run_kitti360_bev_gen.py:178-273).
 
-    Returns counters {frames, bevs}. ``on_bev(bev, path)`` optional hook.
-    """
+    Returns counters {frames, bevs} (bevs = NEW samples this call).
+    ``on_bev(bev, path)`` optional hook. ``start_count`` seats the
+    sequential subdirNNN/bev_NNN numbering after previously-written
+    samples, so a manifest-resumed job continues (and, for a unit that
+    crashed mid-way, byte-identically overwrites) the numbering of the
+    run it replaces."""
     from pc_accumulation_lib_tpu.utils.profiling import PhaseTimer
     timer = PhaseTimer()
-    bev_idx = 0
-    subdir_idx = 0
+    bev_idx = start_count % output.subdir_size
+    subdir_idx = start_count // output.subdir_size
     bev_count = 0
     previous_idx = 0
     frames = 0
@@ -158,6 +163,84 @@ def run(kitti360_path: str, semseg_model=None, use_gt_sem: bool = False,
     return sampling_loop(sem_pc_accum, dataloader, sampling, output)
 
 
+def run_sharded(kitti360_path: str, semseg_model=None,
+                use_gt_sem: bool = False, sequences=None, start_idxs=None,
+                end_idxs=None, accum_horizon_dist: float = 200.0,
+                icp_threshold: float = 1e3,
+                bev_params: Optional[dict] = None,
+                sampling: Optional[cfg.SamplingConfig] = None,
+                output: Optional[cfg.OutputConfig] = None,
+                accum_cfg: Optional[cfg.AccumConfig] = None,
+                icp_cfg: Optional[cfg.ICPConfig] = None,
+                seed: Optional[int] = None,
+                manifest_path: Optional[str] = None, shard_idx: int = 0,
+                num_shards: int = 1, on_bev=None) -> dict:
+    """Scene-sharded, manifest-resumable dataset job.
+
+    Each sequence is an independent work unit processed with a FRESH
+    accumulator (replacing the reference's manual per-process scene
+    sharding, run_nuscenes_bev_gen.py:44-45,165, applied to the KITTI
+    flow): units are strided across ``num_shards`` via
+    parallel/manifest.shard_units, completed units are recorded in a
+    JSONL manifest, and a restarted job resumes exactly the pending
+    units. The sequential subdirNNN/bev_NNN numbering continues from the
+    manifest's recorded per-unit output counts, so a unit that crashed
+    mid-way is re-generated over the same filenames (per-unit seeding
+    makes the rewrite byte-identical; tests/test_job_multichip.py).
+    With ``num_shards > 1`` each shard writes under its own
+    ``shardNN/`` subtree of output_dir (shards share the manifest file
+    but never a filename). Works with multi-chip ``bev_params['mesh']``
+    point-sharded rasters — one mesh job per shard/host.
+    """
+    from pc_accumulation_lib_tpu.parallel.manifest import (
+        CompletionManifest, shard_units)
+    sequences = list(sequences or cfg.KITTI360_SEQUENCES)
+    start_idxs = list(start_idxs or cfg.KITTI360_START_IDXS)
+    end_idxs = list(end_idxs or cfg.KITTI360_END_IDXS)
+    sampling = sampling or cfg.SamplingConfig()
+    output = output or cfg.OutputConfig()
+    if num_shards > 1:
+        import dataclasses
+        output = dataclasses.replace(
+            output, output_dir=os.path.join(output.output_dir,
+                                            f'shard{shard_idx:02d}'))
+    manifest = CompletionManifest(manifest_path) if manifest_path else None
+    spans = {seq: (s, e)
+             for seq, s, e in zip(sequences, start_idxs, end_idxs)}
+
+    mine_all = [u for i, u in enumerate(sequences)
+                if i % num_shards == shard_idx]
+    pending = shard_units(sequences, shard_idx, num_shards, manifest)
+    # Seat the sequential numbering after every sample this shard already
+    # wrote (completed units only; a mid-unit crash re-runs that unit
+    # over the same indices).
+    done_count = 0
+    if manifest is not None:
+        for u in mine_all:
+            rec = manifest.get(u)
+            if rec is not None:
+                done_count += int(rec.get('bevs', 0))
+
+    calib_params = build_calib_params(kitti360_path)
+    total_frames, total_new = 0, 0
+    for unit in pending:
+        s, e = spans[unit]
+        sem_pc_accum = Kitti360SemanticPointCloudAccumulator(
+            accum_horizon_dist, calib_params, icp_threshold, semseg_model,
+            cfg.DEFAULT_SEMSEG_FILTERS, cfg.DEFAULT_SEM_IDXS, use_gt_sem,
+            bev_params, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed)
+        dataloader = Kitti360Dataloader(kitti360_path, 1, [unit], [s], [e])
+        stats = sampling_loop(sem_pc_accum, dataloader, sampling, output,
+                              on_bev=on_bev,
+                              start_count=done_count + total_new)
+        total_frames += stats['frames']
+        total_new += stats['bevs']
+        if manifest is not None:
+            manifest.mark_done(unit, bevs=stats['bevs'])
+    return {'frames': total_frames, 'bevs': total_new,
+            'units': list(pending), 'resumed_at': done_count}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('kitti360_path', type=str)
@@ -180,6 +263,11 @@ def main(argv=None):
     parser.add_argument('--height_filter', type=float, default=None)
     parser.add_argument('--icp_threshold', type=float, default=1e3)
     parser.add_argument('--no_viz', action='store_true')
+    # Scene-sharded resumable job (run_sharded): per-sequence work units,
+    # JSONL completion manifest, strided shard of the unit list.
+    parser.add_argument('--manifest', type=str, default=None)
+    parser.add_argument('--shard_idx', type=int, default=0)
+    parser.add_argument('--num_shards', type=int, default=1)
     # Multi-host bring-up (jax.distributed; SURVEY.md section 5). Each
     # process runs its own scene shard; the resumable manifest
     # (parallel/manifest.py) deduplicates across restarts.
@@ -207,7 +295,11 @@ def main(argv=None):
         'int_mid_threshold': args.int_mid_threshold,
         'height_filter': args.height_filter,
     }
-    stats = run(
+    entry = run_sharded if (args.manifest or args.num_shards > 1) else run
+    extra = ({'manifest_path': args.manifest, 'shard_idx': args.shard_idx,
+              'num_shards': args.num_shards}
+             if entry is run_sharded else {})
+    stats = entry(
         args.kitti360_path, semseg_model, args.use_gt_sem,
         accum_horizon_dist=args.accum_horizon_dist,
         icp_threshold=args.icp_threshold, bev_params=bev_params,
@@ -215,7 +307,7 @@ def main(argv=None):
                                     args.bev_dist_between_samples,
                                     args.bevs_per_sample),
         output=cfg.OutputConfig(args.bev_output_dir,
-                                viz_to_disk=not args.no_viz))
+                                viz_to_disk=not args.no_viz), **extra)
     print(stats)
 
 

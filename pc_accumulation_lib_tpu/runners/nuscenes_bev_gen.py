@@ -85,9 +85,12 @@ def run(nuscenes_path: str, semseg_model=None,
         accum_cfg: Optional[cfg.AccumConfig] = None,
         icp_cfg: Optional[cfg.ICPConfig] = None,
         manifest_path: Optional[str] = None, shard_idx: int = 0,
-        num_shards: int = 1, seed: Optional[int] = None) -> dict:
-    from nuscenes.nuscenes import NuScenes
-
+        num_shards: int = 1, seed: Optional[int] = None,
+        nusc=None) -> dict:
+    """``nusc`` injects a pre-built devkit object (anything with the
+    get/get_boxes/get_sample_data_path/box_velocity/scene surface, e.g. a
+    test double) — when None the real nuscenes-devkit loads the dataroot
+    (reference run_nuscenes_bev_gen.py:161)."""
     from pc_accumulation_lib_tpu.accum.nuscenes import (
         NuScenesSemanticPointCloudAccumulator)
     from pc_accumulation_lib_tpu.accum.nuscenes_oracle import (
@@ -105,12 +108,18 @@ def run(nuscenes_path: str, semseg_model=None,
         'height_filter': None,
     }
 
-    nusc = NuScenes(dataroot=nuscenes_path, version=version)
+    if nusc is None:
+        from nuscenes.nuscenes import NuScenes
+        nusc = NuScenes(dataroot=nuscenes_path, version=version)
     manifest = CompletionManifest(manifest_path) if manifest_path else None
+    if num_shards > 1:
+        import dataclasses
+        # Per-shard output subtree: shards share the manifest file but
+        # never a filename (run_sharded in kitti360_bev_gen likewise).
+        output = dataclasses.replace(
+            output, output_dir=os.path.join(output.output_dir,
+                                            f'shard{shard_idx:02d}'))
 
-    bev_idx = 0
-    subdir_idx = 0
-    bev_count = 0
     writer = None
     if output.async_io:
         from pc_accumulation_lib_tpu.utils.async_writer import (
@@ -118,18 +127,36 @@ def run(nuscenes_path: str, semseg_model=None,
         writer = AsyncPickleWriter()
     scene_ids = list(range(start_scene_idx,
                            min(end_scene_idx, len(nusc.scene))))
-    scene_units = shard_units([str(s) for s in scene_ids], shard_idx,
-                              num_shards, manifest)
+    all_units = [str(s) for s in scene_ids]
+    scene_units = shard_units(all_units, shard_idx, num_shards, manifest)
+    # Resume the sequential numbering after samples this shard already
+    # wrote (recorded per completed unit in the manifest) — a restarted
+    # job never collides with, or renumbers, existing outputs.
+    bev_count = 0
+    if manifest is not None:
+        for i, u in enumerate(all_units):
+            if i % num_shards == shard_idx:
+                rec = manifest.get(u)
+                if rec is not None:
+                    bev_count += int(rec.get('bevs', 0))
+    resumed_at = bev_count
+    bev_idx = bev_count % output.subdir_size
+    subdir_idx = bev_count // output.subdir_size
     for scene_str in scene_units:
         scene_id = int(scene_str)
         attrs, loc = scene_attributes(nusc, scene_id)
         print(f'Processing scene id {scene_id} | {loc}')
         if do_scene_idxs and scene_id not in do_scene_idxs:
             print(f'\tSkip scene id {scene_id} (not in idx list)')
+            if manifest is not None:
+                manifest.mark_done(scene_str, bevs=0, skipped='idx_list')
             continue
         skip, hits = should_skip_scene(attrs, skip_attr)
         if skip:
             print(f'\tSkip scene id {scene_id} ({" ".join(hits)})')
+            if manifest is not None:
+                manifest.mark_done(scene_str, bevs=0,
+                                   skipped=' '.join(hits))
             continue
 
         if use_oracle_pose:
@@ -184,7 +211,8 @@ def run(nuscenes_path: str, semseg_model=None,
             manifest.mark_done(scene_str, bevs=scene_bevs)
     if writer is not None:
         writer.wait()
-    return {'bevs': bev_count}
+    return {'bevs': bev_count - resumed_at, 'units': list(scene_units),
+            'resumed_at': resumed_at}
 
 
 def main(argv=None):

@@ -81,9 +81,13 @@ class AsyncPickleWriter:
                                     self.compresslevel)
         else:
             def task(p=path, d=payload):
-                with gzip.open(p, 'wb',
-                               compresslevel=self.compresslevel) as f:
-                    f.write(d)
+                # mtime=0 like utils/io.py (and like the native zlib
+                # path): byte-deterministic outputs for resume compares.
+                with open(p, 'wb') as raw:
+                    with gzip.GzipFile(
+                            fileobj=raw, mode='wb', mtime=0,
+                            compresslevel=self.compresslevel) as f:
+                        f.write(d)
             self._futures.append(self._pool.submit(task))
 
     def pending(self) -> int:

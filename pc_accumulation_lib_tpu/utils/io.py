@@ -13,8 +13,13 @@ def write_compressed_pickle(obj, filename: str, write_dir: str):
     path = os.path.join(write_dir, f'{filename}.gz')
     pkl_obj = pickle.dumps(obj)
     try:
-        with gzip.open(path, 'wb') as f:
-            f.write(pkl_obj)
+        # mtime=0 keeps the gzip stream a pure function of the payload, so
+        # identical samples produce byte-identical files — a crash-resumed
+        # job's outputs can be byte-compared against an uninterrupted run
+        # (tests/test_job_multichip.py).
+        with open(path, 'wb') as raw:
+            with gzip.GzipFile(fileobj=raw, mode='wb', mtime=0) as f:
+                f.write(pkl_obj)
     except IOError as error:
         print(error)
 

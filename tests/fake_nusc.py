@@ -47,7 +47,7 @@ class FakeNuScenes:
         self.scene = []
         self._tables = {k: {} for k in
                         ('sample', 'sample_data', 'calibrated_sensor',
-                         'ego_pose', 'sample_annotation')}
+                         'ego_pose', 'sample_annotation', 'log')}
         self._boxes_by_sd = {}
         self._velocity = {}
         rng = np.random.default_rng(seed)
@@ -97,8 +97,13 @@ class FakeNuScenes:
         # Build the sample_data chains (lidar: keyframes + intermediate
         # sweeps sharing one `prev` chain) and the keyframe samples.
         sample_tokens = [f'sample{k}' for k in range(n_keyframes)]
+        # Scene attribute surface for the runner's skip-filter
+        # (runners/nuscenes_bev_gen.scene_attributes).
+        self._put('log', 'log0', {'location': 'fake-location'})
         self.scene.append({'name': 'fake-scene-0',
                            'token': 'scene0',
+                           'description': 'Fake scene, sunny, daytime',
+                           'log_token': 'log0',
                            'first_sample_token': sample_tokens[0]})
         lidar_chain = []   # (sd_token, t_seconds, ego_x, is_key, sample)
         dt = 1.0 / (sweeps_between + 1)
