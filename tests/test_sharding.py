@@ -1,8 +1,12 @@
 """Multi-device tests on the virtual 8-CPU mesh: point-sharded raster
-equivalence vs the single-device path, mesh helpers, manifest resume."""
+equivalence vs the single-device path, mesh helpers, manifest resume,
+multistream weak scaling."""
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pc_accumulation_lib_tpu.bev import core
 from pc_accumulation_lib_tpu.parallel import manifest as mf
@@ -137,6 +141,89 @@ def test_manifest_resume(tmp_path):
     assert m2.is_done('scene0') and m2.is_done('scene2')
     assert mf.shard_units(units, 0, 2, m2) == ['scene4', 'scene6', 'scene8']
     assert m2.stats()['done'] == 2
+
+
+@pytest.mark.slow
+def test_multistream_weak_scaling(rng):
+    """Weak-scaling bound for the scale-out story (README): 8 independent
+    full-size streams on an (8,1) mesh must complete within
+    K x (8 x one stream of the SAME raster program on one device).
+
+    Justifying the baseline and K: the virtual 8-device mesh shares this
+    box's SINGLE physical core, so perfect weak scaling here is
+    wall-clock parity with executing the 8 per-device programs back to
+    back — NOT the ratio-1-vs-one-stream a real 8-chip slice would show.
+    The same-program baseline is the sharded body on a (1,1) mesh (the
+    scatter/histogram accumulators whose partials are psum/pmin
+    combinable); comparing against the single-chip SORT raster instead
+    would fold in a backend algorithm delta (~5x on this CPU, printed
+    below for the record) that says nothing about scaling. K = 1.35:
+    comfortably above run-to-run CPU noise (~10% measured), far below the
+    2x that would signal a serialization bug (per-stream compile, host
+    sync between streams). Measured 0.95 at introduction — the mesh
+    program adds no overhead over perfect serialization, which on real
+    chips (one core per chip) is ratio ~K vs one chip."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+    S = 8
+    mesh = mesh_mod.make_mesh((S, 1))
+    streams = []
+    for s in range(S):
+        pts, valid, fids = make_points(rng)
+        params = core.identity_params(window=(0, 9), present_frame=5)
+        streams.append((pts, valid, fids,
+                        params._replace(rot_ang=0.1 * s)))
+
+    # Same-program single-device baseline: the shard body on a 1-device
+    # mesh (scatter accumulators + degenerate collectives).
+    mesh1 = Mesh(np.array(jax.devices('cpu')[:1]).reshape(1, 1),
+                 ('data', 'points'))
+    body1 = sharded.make_sharded_raster_fn(mesh1, 40.0, P, SEM_IDXS, 20.,
+                                           20., 0.5)
+    args1 = (jnp.asarray(streams[0][0]), jnp.asarray(streams[0][1]),
+             jnp.asarray(streams[0][2]), jnp.zeros(4, jnp.float32),
+             streams[0][3])
+    # Single-chip sort-backend raster: printed only, to record the
+    # backend algorithm delta the mesh path pays on this CPU.
+    sort1 = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5)
+    args_sort = args1[:4] + (streams[0][3].pack(),)
+
+    ms = sharded.make_multistream_raster_fn(mesh, 40.0, P, SEM_IDXS, 20.,
+                                            20., 0.5)
+    pts_b = jax.device_put(np.stack([s[0] for s in streams]),
+                           NamedSharding(mesh, PS('data', 'points')))
+    val_b = jax.device_put(np.stack([s[1] for s in streams]),
+                           NamedSharding(mesh, PS('data', 'points')))
+    fid_b = jax.device_put(np.stack([s[2] for s in streams]),
+                           NamedSharding(mesh, PS('data', 'points')))
+    inst_b = jax.device_put(np.zeros((S, 4), np.float32),
+                            NamedSharding(mesh, PS('data')))
+    pk_b = jax.device_put(np.stack([s[3].pack() for s in streams]),
+                          NamedSharding(mesh, PS('data')))
+
+    # Warm every compile out of the measurement.
+    body1(*args1, True).block_until_ready()
+    sort1(*args_sort, True).block_until_ready()
+    ms(pts_b, val_b, fid_b, inst_b, pk_b, True).block_until_ready()
+
+    def best_of(fn, n=5):
+        best = float('inf')
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn().block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(lambda: body1(*args1, True))
+    t_sort = best_of(lambda: sort1(*args_sort, True))
+    t8 = best_of(lambda: ms(pts_b, val_b, fid_b, inst_b, pk_b, True))
+    ratio = t8 / (S * t1)
+    print(f'weak scaling: same-program 1-stream {t1 * 1e3:.1f} ms, '
+          f'8-stream {t8 * 1e3:.1f} ms, overhead ratio {ratio:.2f} '
+          f'(sort-backend single {t_sort * 1e3:.1f} ms -> CPU backend '
+          f'delta {t1 / t_sort:.1f}x, excluded from the bound)')
+    assert ratio <= 1.35, (
+        f'multistream overhead {ratio:.2f} > 1.35: the (8,1) mesh program '
+        f'costs more than 35% over 8 serialized same-program rasters')
 
 
 def test_accumulator_with_mesh_matches_single(rng):
