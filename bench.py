@@ -29,6 +29,74 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 
+def _measure_link(n_bytes=2 << 20, reps=5):
+    """Measured tunnel link speed, host->device and device->host, in
+    MB/s (median of ``reps``), plus the round-trip latency floor.
+
+    Method: the RTT floor is the median time to fetch 8 bytes of a
+    resident device array; a 2 MiB transfer is then timed and the floor
+    subtracted before dividing. Through the tunnel every fetch pays
+    ~33 ms RTT and 15-45 MB/s with high variance (CLAUDE.md), so the
+    throughput numbers are a same-run weather reading that makes the
+    headline rate interpretable, not a precision instrument."""
+    import jax
+    import jax.numpy as jnp
+
+    host = np.random.default_rng(0).integers(
+        0, 255, n_bytes, dtype=np.uint8)   # incompressible-ish payload
+    dev = jax.device_put(host)
+    bump = jax.jit(lambda x: x + 1)
+    small = jnp.zeros(8, jnp.uint8)
+    _ = np.asarray(bump(dev))              # warm compiles + both paths
+    _ = np.asarray(bump(small))
+    _ = np.asarray(bump(dev)[:8])
+    rtts, ups, downs = [], [], []
+    # Every fetched array must be FRESH (jax.Array caches its fetched
+    # value, so re-fetching the same object is free and reads as an
+    # absurd GB/s). bump() makes a new device array per rep for ~zero
+    # device cost.
+    for _ in range(reps):
+        small = bump(small)
+        t0 = time.perf_counter()
+        _ = np.asarray(small)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        d = jax.device_put(host)
+        _ = np.asarray(bump(d)[:8])        # forces the upload to land
+        ups.append(time.perf_counter() - t0)
+        dev = bump(dev)
+        t0 = time.perf_counter()
+        _ = np.asarray(dev)
+        downs.append(time.perf_counter() - t0)
+    mbps = lambda ts: round(                               # noqa: E731
+        n_bytes / 1e6 / max(float(np.median(ts)) - rtt, 1e-4), 1)
+    return {'link_up_MBps': mbps(ups), 'link_down_MBps': mbps(downs),
+            'rtt_ms': round(rtt * 1e3, 1)}
+
+
+def _window_stats(checkpoints, n_windows=3):
+    """Split (elapsed_seconds, cumulative_samples) checkpoints into
+    ``n_windows`` contiguous windows and return per-window rates plus
+    median/min — the repeat protocol that separates a code regression
+    from tunnel weather (a bad link shows as min << median)."""
+    if len(checkpoints) < n_windows + 1:
+        return None
+    idxs = [round(i * (len(checkpoints) - 1) / n_windows)
+            for i in range(n_windows + 1)]
+    rates = []
+    for a, b in zip(idxs[:-1], idxs[1:]):
+        (t0, s0), (t1, s1) = checkpoints[a], checkpoints[b]
+        if t1 > t0:
+            rates.append((s1 - s0) / (t1 - t0))
+    if not rates:
+        return None
+    return {'windows': [round(r, 3) for r in rates],
+            'median': round(float(np.median(rates)), 3),
+            'min': round(float(np.min(rates)), 3)}
+
+
 def bench_nuscenes_oracle():
     """BASELINE config 2: oracle-pose 6-camera accumulation + BEV sampling
     on a synthetic NuScenes-format stream. Secondary mode
@@ -64,11 +132,13 @@ def bench_nuscenes_oracle():
         accum.integrate([frames[i]])
     _ = accum.generate_bev(present_idx=2, bev_num=1, gen_future=True)
     jax.effects_barrier()
+    link = _measure_link()
     # Software pipeline: frame i's BEV fetch drains on a worker thread
     # under frame i+1's integrate + raster compute.
     from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
     n_samples = 0
+    checkpoints = [(0.0, 0)]
     fut = None
     with ThreadPoolExecutor(max_workers=1) as ex:
         for i in range(4, n_frames):
@@ -79,21 +149,28 @@ def bench_nuscenes_oracle():
             nxt = ex.submit(handle)
             if fut is not None:
                 n_samples += len(fut.result())
+                checkpoints.append((time.perf_counter() - t0, n_samples))
             fut = nxt
         n_samples += len(fut.result())
+        checkpoints.append((time.perf_counter() - t0, n_samples))
     jax.effects_barrier()
     dt = time.perf_counter() - t0
+    win = _window_stats(checkpoints)
     gen = accum.sem_bev_generator
     print(f'sparse fetch: max {gen.max_occupied} occupied cells '
           f'(per split {gen.max_occupied_split}, cap {gen.sparse_cap}), '
           f'{gen.sparse_overflows} dense fallbacks, '
           f'{gen.sparse_short_fetches} short fetches '
           f'(adaptive hint {gen._fetch_hint_bytes} B)', file=sys.stderr)
+    print(json.dumps({'metric': 'bench_protocol',
+                      'overall': round(n_samples / dt, 3),
+                      **(win or {}), **link}), file=sys.stderr)
+    value = win['median'] if win else n_samples / dt
     print(json.dumps({
         'metric': 'nuscenes_oracle_bev_samples_per_sec_per_chip',
-        'value': round(n_samples / dt, 3),
+        'value': round(value, 3),
         'unit': 'samples/s',
-        'vs_baseline': round(n_samples / dt / 50.0, 3),
+        'vs_baseline': round(value / 50.0, 3),
     }))
 
 
@@ -288,6 +365,7 @@ def main():
     if time.perf_counter() - t_warm > 240:
         n_frames = warmup_frames + 6
     shorts_warmup = accum.sem_bev_generator.sparse_short_fetches
+    link = _measure_link()   # same-run weather reading (tail JSON)
 
     # Timed steady-state: one accum.step per iteration = one fused
     # integrate (semseg + ICP + paint + insert + eviction window) plus
@@ -310,6 +388,7 @@ def main():
     # finalize waits out a tunnel latency spike (each step's transfers
     # start at dispatch via copy_to_host_async regardless).
     futs = deque()
+    checkpoints = [(0.0, 0)]   # (elapsed, cumulative samples) per harvest
     with ThreadPoolExecutor(max_workers=1) as ex:
         for i in range(warmup_frames, n_frames):
             with timer.phase('dispatch step (integrate + rasters)'):
@@ -319,13 +398,20 @@ def main():
             if len(futs) > 2:
                 with timer.phase('harvest previous step'):
                     n_samples += len(futs.popleft().result())
+                checkpoints.append((time.perf_counter() - t0, n_samples))
         while futs:
             with timer.phase('harvest previous step'):
                 n_samples += len(futs.popleft().result())
+            checkpoints.append((time.perf_counter() - t0, n_samples))
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 
-    samples_per_sec = n_samples / dt
+    # Repeat protocol: the headline is the MEDIAN of >=3 contiguous
+    # step windows (weather-robust); min and the per-window rates ride
+    # the tail JSON so a slow-link run is distinguishable from a code
+    # regression without any prose.
+    win = _window_stats(checkpoints)
+    samples_per_sec = win['median'] if win else n_samples / dt
 
     # Secondary operating point (BASELINE configs 1-3): bev_num=1 — no
     # augmentation amortization, each sample pays a full integrate
@@ -352,6 +438,9 @@ def main():
     print('--- phase breakdown (steady state) ---', file=sys.stderr)
     print(timer.report(), file=sys.stderr)
     print(f'total {dt:.3f}s for {n_samples} samples', file=sys.stderr)
+    print(json.dumps({'metric': 'bench_protocol',
+                      'overall': round(n_samples / dt, 3),
+                      **(win or {}), **link}), file=sys.stderr)
     gen = accum.sem_bev_generator
     mean_occ = [s // max(gen.n_occupied_obs, 1)
                 for s in gen.sum_occupied_split]
