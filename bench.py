@@ -133,19 +133,30 @@ def bench_nuscenes_oracle():
     _ = accum.generate_bev(present_idx=2, bev_num=1, gen_future=True)
     jax.effects_barrier()
     link = _measure_link()
-    # Software pipeline: frame i's BEV fetch drains on a worker thread
-    # under frame i+1's integrate + raster compute.
+    # Software pipeline, both directions: frame i's BEV fetch drains on a
+    # worker thread under frame i+1's integrate + raster compute, and
+    # frame i+1's 6-camera u8 upload (~6.5 MB — the oracle mode's wire
+    # wall) pre-uploads on a second worker under frame i's work
+    # (accum.upload_obs).
     from concurrent.futures import ThreadPoolExecutor
     t0 = time.perf_counter()
     n_samples = 0
     checkpoints = [(0.0, 0)]
     fut = None
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    with ThreadPoolExecutor(max_workers=1) as ex, \
+            ThreadPoolExecutor(max_workers=1) as upx:
+        nxt_up = upx.submit(accum.upload_obs, frames[4])
         for i in range(4, n_frames):
-            accum.integrate([frames[i]])
+            dobs = nxt_up.result()
+            accum.integrate([dobs])
             handle = accum.generate_bev(present_idx=len(accum.poses) - 2,
                                         bev_num=1, gen_future=True,
                                         async_fetch=True)
+            # Submit the next upload only AFTER this frame's dispatches:
+            # an upload in flight stalls dispatch control rounds behind
+            # its queued tunnel bytes (see main()).
+            if i + 1 < n_frames:
+                nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
             nxt = ex.submit(handle)
             if fut is not None:
                 n_samples += len(fut.result())
@@ -274,7 +285,14 @@ def selftest():
         raise SystemExit(f'step() vs classic path mismatch: {worst}')
 
 
-def main():
+def main(classic: bool = False):
+    """Default mode: the zero-host-sync step() pipeline. ``classic`` runs
+    the same workload through integrate() + generate_bev() — the path a
+    multi-chip mesh must use (bev/sem_bev.py generate_samples_device is
+    single-chip by design) — so `python bench.py classic` measures the
+    mesh-mode dispatch penalty on one real chip: the per-step host pose
+    sync, per-sample raster dispatch (no prepped hoisting, no grouped
+    scan), and the uncompacted full-ring sweep."""
     import jax
     import jax.numpy as jnp
 
@@ -289,7 +307,7 @@ def main():
     from pc_accumulation_lib_tpu.dataloaders.synthetic import (FULL_IMG_H,
                                                                FULL_IMG_W)
     n_frames = 24
-    bev1_frames = 6       # extra frames for the bev_num=1 operating point
+    bev1_frames = 10      # extra frames for the bev_num=1 operating point
     warmup_frames = 6
     # Full KITTI-360 rect camera resolution (376x1408): the reference runs
     # semseg at full rect size with no downscale anywhere
@@ -358,7 +376,12 @@ def main():
     accum.integrate([frames[0]])
     for i in range(1, warmup_frames):
         bn = 1 if i == warmup_frames - 1 else bevs_per_sample
-        accum.step([frames[i]], bev_num=bn, gen_future=True)
+        if classic:
+            accum.integrate([frames[i]])
+            accum.generate_bev(present_idx=len(accum.poses) - 2,
+                               bev_num=bn, gen_future=True)
+        else:
+            accum.step([frames[i]], bev_num=bn, gen_future=True)
     jax.effects_barrier()
     # Cold compile cache: shorten the timed phase so the run still finishes
     # inside a driver timeout (steady-state rate is unaffected).
@@ -389,11 +412,42 @@ def main():
     # start at dispatch via copy_to_host_async regardless).
     futs = deque()
     checkpoints = [(0.0, 0)]   # (elapsed, cumulative samples) per harvest
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    # A second 1-thread executor pre-uploads frame i+1's ~2.5 MB
+    # image+points payload (accum.upload_obs) while frame i's step
+    # computes and its fetches drain: the host->device wire time rides
+    # the idle up-link under the (down-link) harvest waits. ORDER
+    # MATTERS: the submission happens AFTER frame i's dispatch — an
+    # upload in flight serializes the dispatch control rounds behind
+    # ~2.5 MB of queued tunnel bytes (measured: eager submit-before-
+    # dispatch collapsed the headline 66.6 -> 28.8 and dispatch
+    # 43 -> 336 ms/step on a healthy 33 MB/s link). BENCH_PREUPLOAD:
+    # 2 (default) = submit after dispatch, 1 = before (the measured
+    # regression, kept for A/B), 0 = upload inline in dispatch.
+    up_mode = int(os.environ.get('BENCH_PREUPLOAD', '2'))
+    pre_up = up_mode != 0
+    with ThreadPoolExecutor(max_workers=1) as ex, \
+            ThreadPoolExecutor(max_workers=1) as upx:
+        if pre_up:
+            nxt_up = upx.submit(accum.upload_obs, frames[warmup_frames])
         for i in range(warmup_frames, n_frames):
-            with timer.phase('dispatch step (integrate + rasters)'):
-                handle = accum.step([frames[i]], bev_num=bevs_per_sample,
-                                    gen_future=True, async_fetch=True)
+            with timer.phase('await upload (pipelined)'):
+                dobs = nxt_up.result() if pre_up else frames[i]
+            if up_mode == 1 and i + 1 < n_frames:
+                nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
+            if classic:
+                with timer.phase('integrate + host pose sync'):
+                    accum.integrate([dobs])
+                with timer.phase('dispatch rasters (classic)'):
+                    handle = accum.generate_bev(
+                        present_idx=len(accum.poses) - 2,
+                        bev_num=bevs_per_sample, gen_future=True,
+                        async_fetch=True)
+            else:
+                with timer.phase('dispatch step (integrate + rasters)'):
+                    handle = accum.step([dobs], bev_num=bevs_per_sample,
+                                        gen_future=True, async_fetch=True)
+            if up_mode >= 2 and i + 1 < n_frames:
+                nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
             futs.append(ex.submit(handle))
             if len(futs) > 2:
                 with timer.phase('harvest previous step'):
@@ -417,23 +471,37 @@ def main():
     # augmentation amortization, each sample pays a full integrate
     # (semseg + ICP + paint). Reported on stderr; the driver metric stays
     # the bevs_per_sample default below.
-    t1 = time.perf_counter()
-    n1 = 0
-    fut = None
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        for i in range(n_frames, n_frames + bev1_frames):
-            handle = accum.step([frames[i]], bev_num=1, gen_future=True,
-                                async_fetch=True)
-            nxt = ex.submit(handle)
-            if fut is not None:
-                n1 += len(fut.result())
-            fut = nxt
-        n1 += len(fut.result())
-    dt1 = time.perf_counter() - t1
-    print(json.dumps({
-        'metric': 'e2e_bev1_samples_per_sec_per_chip',
-        'value': round(n1 / dt1, 3), 'unit': 'samples/s (bev_num=1)',
-        'vs_baseline': round(n1 / dt1 / 50.0, 3)}), file=sys.stderr)
+    if not classic:
+        # Three-way pipeline: the upload worker keeps frame i+1's payload
+        # in flight under frame i's step; the fetch worker drains frame
+        # i-1's stacks. The main thread only dispatches — at bev_num=1 the
+        # steady state is bounded by max(upload wire, compute, fetch), not
+        # their sum.
+        t1 = time.perf_counter()
+        n1 = 0
+        fut = None
+        with ThreadPoolExecutor(max_workers=1) as ex, \
+                ThreadPoolExecutor(max_workers=1) as upx:
+            if pre_up:
+                nxt_up = upx.submit(accum.upload_obs, frames[n_frames])
+            for i in range(n_frames, n_frames + bev1_frames):
+                dobs = nxt_up.result() if pre_up else frames[i]
+                if up_mode == 1 and i + 1 < n_frames + bev1_frames:
+                    nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
+                handle = accum.step([dobs], bev_num=1, gen_future=True,
+                                    async_fetch=True)
+                if up_mode >= 2 and i + 1 < n_frames + bev1_frames:
+                    nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
+                nxt = ex.submit(handle)
+                if fut is not None:
+                    n1 += len(fut.result())
+                fut = nxt
+            n1 += len(fut.result())
+        dt1 = time.perf_counter() - t1
+        print(json.dumps({
+            'metric': 'e2e_bev1_samples_per_sec_per_chip',
+            'value': round(n1 / dt1, 3), 'unit': 'samples/s (bev_num=1)',
+            'vs_baseline': round(n1 / dt1 / 50.0, 3)}), file=sys.stderr)
 
     print('--- phase breakdown (steady state) ---', file=sys.stderr)
     print(timer.report(), file=sys.stderr)
@@ -454,7 +522,8 @@ def main():
     print(f'compaction: max {accum.max_live_rows} live rows '
           f'(cap {accum.accum_cfg.compact_cap})', file=sys.stderr)
     result = {
-        'metric': 'e2e_bev_samples_per_sec_per_chip',
+        'metric': ('e2e_bev_classic_path_samples_per_sec_per_chip'
+                   if classic else 'e2e_bev_samples_per_sec_per_chip'),
         'value': round(samples_per_sec, 3),
         'unit': 'samples/s',
         'vs_baseline': round(samples_per_sec / 50.0, 3),
@@ -508,6 +577,8 @@ if __name__ == '__main__':
             bench_nuscenes_oracle()
         elif len(sys.argv) > 1 and sys.argv[1] == '--selftest':
             selftest()
+        elif len(sys.argv) > 1 and sys.argv[1] == 'classic':
+            main(classic=True)
         else:
             main()
     finally:

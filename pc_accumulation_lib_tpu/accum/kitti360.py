@@ -9,7 +9,7 @@ clouds every frame.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,19 @@ def pose_params_vec(T_world, T_world_prev, ws, frame_id):
     return jnp.concatenate([
         T_ref.reshape(-1), bev_coords,
         jnp.stack([ws.astype(jnp.float32), f, f - 1.0])])
+
+
+class DeviceObs(NamedTuple):
+    """A pre-uploaded observation (see ``upload_obs``).
+
+    ``aux`` is the device camera image (estimated-sem path) or the padded
+    per-point GT label vector (``use_gt_sem``); ``rgb_host`` keeps the host
+    image reference for the accumulator's frame bookkeeping
+    (get_rgb parity, sem_pc_accum.py:267-271)."""
+    rgb_host: object
+    pc_pad: object
+    valid: object
+    aux: object
 
 
 class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
@@ -284,8 +297,9 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         return jnp.asarray(arr.astype(np.float32))
 
     def integrate(self, observations: list, async_fetch: bool = False):
-        """Integrate observations [(rgb, pc, sem_gt), ...]
-        (kitti360_sem_pc_accum.py:41-88). Returns number of evicted frames.
+        """Integrate observations [(rgb, pc, sem_gt), ...] — or pre-uploaded
+        ``DeviceObs`` from ``upload_obs`` — (kitti360_sem_pc_accum.py:41-88).
+        Returns number of evicted frames.
 
         All frames are dispatched to the device back-to-back (the pose
         chain threads device-side, so no dispatch waits on a host fetch).
@@ -307,13 +321,37 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
 
         return finalize if async_fetch else finalize()
 
-    def _dispatch_obs(self, obs):
-        """Dispatch one observation's fused device step; returns a zero-arg
-        bookkeeping closure that performs the (lazy, async-copied) host
-        fetch of the packed pose/count vector."""
+    def upload_obs(self, obs) -> DeviceObs:
+        """Start the host->device upload of one observation and return a
+        ``DeviceObs`` that ``integrate``/``step`` accept in place of the raw
+        (rgb, pc, sem_gt) tuple.
+
+        The upload is the single largest host->device transfer of the
+        per-frame path (~2.5 MB at full camera resolution: u8 image +
+        7 B/point packed cloud) and on a remote-TPU link it bounds the
+        ``bev_num=1`` operating point. Calling this on a worker thread for
+        frame i+1 while frame i's step computes overlaps the wire time with
+        device compute (the reverse of the fetch-side pipeline)."""
+        if isinstance(obs, DeviceObs):
+            return obs
         rgb, pc, sem_gt = obs
         pc = np.asarray(pc, np.float32)
         pc_pad, valid = self._pad_pc(pc)
+        if self.use_gt_sem or self.semseg_model is None:
+            sem_flat = np.zeros(self.accum_cfg.max_points_per_frame,
+                                np.float32)
+            sem_flat[:pc.shape[0]] = np.asarray(sem_gt).reshape(-1)
+            aux = jnp.asarray(sem_flat)
+        else:
+            aux = self._prep_rgb(rgb)
+        return DeviceObs(rgb, pc_pad, valid, aux)
+
+    def _dispatch_obs(self, obs):
+        """Dispatch one observation's fused device step; returns a zero-arg
+        bookkeeping closure that performs the (lazy, async-copied) host
+        fetch of the packed pose/count vector. ``obs`` may be a raw
+        (rgb, pc, sem_gt) tuple or a pre-uploaded ``DeviceObs``."""
+        rgb, pc_pad, valid, aux = self.upload_obs(obs)
         first = self._icp_prev_cloud is None
         prev_cloud = self._icp_prev_cloud
         if first:
@@ -332,19 +370,15 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         fid = jnp.int32(self.frame_count)
 
         if self.use_gt_sem or self.semseg_model is None:
-            sem_flat = np.zeros(self.accum_cfg.max_points_per_frame,
-                                np.float32)
-            sem_flat[:pc.shape[0]] = np.asarray(sem_gt).reshape(-1)
             out = self._fused(
                 self.state, prev_cloud, self._T_world_dev,
                 self._T_new_prev_dev, self._seg_ring_dev, self._ws_dev,
-                pc_pad, valid, jnp.asarray(sem_flat), fid, first)
+                pc_pad, valid, aux, fid, first)
         else:
-            rgb_arr = self._prep_rgb(rgb)
             out = self._fused(
                 self.state, prev_cloud, self._T_world_dev,
                 self._T_new_prev_dev, self._seg_ring_dev, self._ws_dev,
-                self.semseg_model.variables, pc_pad, valid, rgb_arr, fid,
+                self.semseg_model.variables, pc_pad, valid, aux, fid,
                 first)
         (state, new_cloud, packed, t_w, t_np, seg_ring, ws_new,
          pose_vec) = out
@@ -455,6 +489,30 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             flat_pts = self.state.points.reshape(f * n, d)
             flat_valid = self.state.valid.reshape(f * n)
             pt_fids = jnp.repeat(self.state.frame_ids, n)
+        inst_dyn = self.state.inst_dyn
+        if gen._mesh is not None:
+            # Point-sharded mesh raster: lay the flat buffer out over the
+            # 'points' axis ONCE per step (the integrate state machine
+            # stays on its single device; only this snapshot crosses ICI)
+            # — otherwise each of the bev_num raster dispatches would
+            # re-lay-out the same ~tens-of-MB buffer. pose_vec/inst_dyn
+            # replicate (tiny).
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            from pc_accumulation_lib_tpu.parallel.sharded import (
+                shard_points_to_mesh)
+            ax = gen._mesh.shape['points']
+            if flat_pts.shape[0] % ax:
+                raise ValueError(
+                    f'step() on a mesh: flat point count {flat_pts.shape[0]}'
+                    f' must divide the points-axis size {ax} — size '
+                    'AccumConfig.compact_cap (or max_frames * painted_cap) '
+                    'to a multiple of the mesh points axis.')
+            flat_pts, flat_valid, pt_fids = shard_points_to_mesh(
+                gen._mesh, flat_pts, flat_valid, pt_fids)
+            rep = NamedSharding(gen._mesh, P())
+            pose_vec = jax.device_put(pose_vec, rep)
+            inst_dyn = jax.device_put(inst_dyn, rep)
         prepped = None
         if gen._prepped_ok:
             # Hoist the aug-invariant per-point raster work (world->ref
@@ -481,7 +539,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             return trajs
 
         bev_handle = gen.generate_samples_device(
-            flat_pts, flat_valid, pt_fids, self.state.inst_dyn, pose_vec,
+            flat_pts, flat_valid, pt_fids, inst_dyn, pose_vec,
             bev_num, gen_future, trajs_fn, prepped=prepped)
 
         def finalize():

@@ -348,22 +348,14 @@ class SemBEVGenerator:
         sparse sample buffers are stacked and fetched in groups of this
         size — measured neutral vs per-sample on the remote tunnel at 4
         (1.4 MB chunks) and ~8%% slower at 8 (2.9 MB chunks stall)."""
-        if self._mesh is not None:
-            # Permanent by design, not a gap: the step() fast path exists
-            # to avoid host round trips by threading the fused integrate's
-            # DEVICE pose vector into the raster, and that integrate state
-            # machine (accum/buffer ring, ICP chain) lives on one device.
-            # On a mesh, integrate() + generate_bev() is the supported
-            # path — and since the mesh raster now ships the same packed
-            # sparse encoding (parallel/sharded.py pack='sparse'), its
-            # per-sample transfer cost matches this fast path; only the
-            # per-step pose fetch (~1 RTT) differs.
-            raise NotImplementedError(
-                'generate_samples_device (accum.step fast path) is '
-                'single-chip only: the mesh-sharded raster takes one '
-                'packed host vector, not the (pose_vec, aug) device '
-                'tuple. Use integrate() + generate_bev() with a mesh '
-                '(same sparse transfer encoding).')
+        # Mesh note: the point-sharded raster accepts the same
+        # (pose_vec, aug9) device tuple (parallel/sharded.py), so this
+        # zero-host-sync path works multi-chip too — it takes the
+        # per-sample dispatch branch below (the grouped lax.scan and the
+        # prepped-point hoisting are single-chip: _prepped_ok gates them
+        # off when self._mesh is set). The caller pre-shards the point
+        # arrays once per step (accum/kitti360.step) so the bev_num raster
+        # calls don't each re-lay-out the buffer.
         if not self.do_aug:
             # The classic path's no-aug rotation is heading-aligned
             # (_heading_rot_ang), which needs host poses — unavailable at

@@ -40,6 +40,12 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     pair (bev_core.sparse_outputs; host decode unchanged): a multi-chip
     BEV run ships occupied cells only instead of dense f16 stacks.
     Sparse outputs are PRE-warp, exactly like the single-chip contract.
+
+    ``params`` may also be a (pose_vec (22,), aug9 (9,)) tuple — the same
+    device-pose form the single-chip raster takes (bev/core.make_raster_fn):
+    the concat happens inside the jit, so the accumulator's zero-host-sync
+    step() pipeline (accum/kitti360.step -> generate_samples_device) can
+    drive the mesh raster without fetching the pose chain.
     """
     if pack == 'sparse' and sparse_cap is None:
         sparse_cap = bev_core.default_sparse_cap(pixel_size)
@@ -50,20 +56,37 @@ def make_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     pt_spec = P(points_axis)
     rep_spec = P()
 
-    def build(gen_future):
+    def build(gen_future, split_params=False):
         f = functools.partial(body, gen_future=gen_future)
         out_spec = (rep_spec, rep_spec) if pack == 'sparse' else rep_spec
-        return jax.shard_map(
+        sm = jax.shard_map(
             f, mesh=mesh,
             in_specs=(pt_spec, pt_spec, pt_spec, rep_spec, rep_spec),
             out_specs=out_spec)
+        if not split_params:
+            return sm
+
+        def with_pose_vec(points, valid, fids, inst_dyn, pose_vec, aug9):
+            packed = jnp.concatenate(
+                [pose_vec, jnp.asarray(aug9, jnp.float32)])
+            return sm(points, valid, fids, inst_dyn, packed)
+
+        return with_pose_vec
 
     fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
+    tfns = {True: jax.jit(build(True, True)),
+            False: jax.jit(build(False, True))}
 
     def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
-        packed = params.pack() if isinstance(params,
-                                             bev_core.RasterParams) \
-            else params
+        if isinstance(params, bev_core.RasterParams):   # NamedTuple first:
+            packed = params.pack()                      # it IS a tuple
+        elif isinstance(params, tuple):
+            pose_vec, aug9 = params
+            return tfns[bool(gen_future)](
+                points, valid, pt_frame_ids, inst_dyn, pose_vec,
+                jnp.asarray(aug9, jnp.float32))
+        else:
+            packed = params
         return fns[bool(gen_future)](points, valid, pt_frame_ids, inst_dyn,
                                      jnp.asarray(packed))
 

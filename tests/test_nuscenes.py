@@ -159,3 +159,37 @@ def test_nuscenes_icp_accumulator_runs():
     np.testing.assert_allclose(steps, 2.0, atol=0.4)
     bev = accum.generate_bev(present_idx=4, bev_num=1, gen_future=True)[0]
     assert 'road_full' in bev
+
+
+def test_oracle_upload_obs_matches_raw():
+    """Pre-uploaded OracleDeviceObs (upload_obs — the double-buffered
+    6-camera transfer used by bench.py's oracle mode) must be equivalent
+    to integrating raw obs dicts: same poses, tracker state, and BEV."""
+    from pc_accumulation_lib_tpu.accum.nuscenes_oracle import OracleDeviceObs
+    stream = SyntheticNuScenesStream(n_frames=6, step=2.0, lidar_range=20.0,
+                                     seed=5)
+    obs_list = [o for batch in stream for o in batch]
+    model = SemSegTPU(seed=0, stage_sizes=(1, 1, 1, 1))
+
+    def make():
+        return NuScenesOracleSemanticPointCloudAccumulator(
+            semseg_model=model, bev_params=BEV_PARAMS, loc='synth-map',
+            accum_cfg=ACCUM_CFG, seed=0)
+
+    a_raw, a_dev = make(), make()
+    for obs in obs_list:
+        a_raw.integrate([obs])
+        dob = a_dev.upload_obs(obs)
+        assert isinstance(dob, OracleDeviceObs)
+        assert a_dev.upload_obs(dob) is dob   # idempotent
+        a_dev.integrate([dob])
+    np.testing.assert_array_equal(np.asarray(a_raw.poses),
+                                  np.asarray(a_dev.poses))
+    assert a_raw.tracker.dyn_instances == a_dev.tracker.dyn_instances
+    br = a_raw.generate_bev(present_idx=3, bev_num=1, gen_future=True)[0]
+    bd = a_dev.generate_bev(present_idx=3, bev_num=1, gen_future=True)[0]
+    for k in br:
+        if k.startswith('trajs') or k == 'gt_lanes':
+            continue
+        np.testing.assert_array_equal(np.asarray(br[k]), np.asarray(bd[k]),
+                                      err_msg=k)

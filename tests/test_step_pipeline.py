@@ -500,3 +500,32 @@ def test_step_prepped_raster_matches_classic():
                 np.testing.assert_allclose(
                     np.asarray(bc[k], np.float32),
                     np.asarray(bp[k], np.float32), atol=2e-3, err_msg=k)
+
+
+def test_upload_obs_device_path_matches_raw():
+    """Pre-uploaded DeviceObs (accum.upload_obs, the double-buffered
+    host->device transfer used by bench.py) must be byte-equivalent to
+    passing raw (rgb, pc, sem_gt) tuples, for both transfer encodings."""
+    from pc_accumulation_lib_tpu.accum.kitti360 import DeviceObs
+    frames = _frames()
+    for dtype in ('float32', 'quantized'):
+        a_raw = _make_accum(seed=13, transfer_dtype=dtype)
+        a_dev = _make_accum(seed=13, transfer_dtype=dtype)
+        a_raw.integrate([frames[0]])
+        dob0 = a_dev.upload_obs(frames[0])
+        assert isinstance(dob0, DeviceObs)
+        assert a_dev.upload_obs(dob0) is dob0   # idempotent
+        a_dev.integrate([dob0])
+        for i in range(1, 5):
+            br = a_raw.step([frames[i]], bev_num=2, gen_future=True)
+            bd = a_dev.step([a_dev.upload_obs(frames[i])], bev_num=2,
+                            gen_future=True)
+            assert a_raw.window_start == a_dev.window_start
+            np.testing.assert_array_equal(np.asarray(a_raw.poses),
+                                          np.asarray(a_dev.poses))
+            for sr, sd in zip(br, bd):
+                for k in sr:
+                    if k.startswith('trajs'):
+                        continue
+                    np.testing.assert_array_equal(
+                        np.asarray(sr[k]), np.asarray(sd[k]), err_msg=k)
