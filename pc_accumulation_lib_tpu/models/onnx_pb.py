@@ -261,20 +261,24 @@ def write_initializers(path: str, named: Dict[str, np.ndarray],
         f.write(model)
 
 
-def read_initializers(path: str) -> Dict[str, np.ndarray]:
-    """Read an .onnx file's graph initializers as {name: ndarray} — the
-    exact input models/onnx_port.convert_named_tensors consumes.
+def read_graph(path: str):
+    """Read an .onnx file as ``(initializers, nodes)``: the graph
+    initializers as {name: ndarray} plus every node as an
+    ``(op_type, inputs, outputs)`` tuple in file order (the ONNX spec
+    requires nodes to be topologically sorted). The node list feeds the
+    structural (dataflow) weight matcher in models/onnx_port, which
+    recovers tensor roles when an exporter renames every initializer.
 
-    Also resolves ``Identity`` aliases: exporters deduplicate
-    value-identical tensors by emitting one initializer plus
-    Identity(src) -> alias nodes (e.g. a fresh BatchNorm's running_var
-    aliasing its all-ones weight) — the alias names are restored so
-    name-based porting sees every tensor."""
+    ``Identity`` aliases are resolved into the initializer dict:
+    exporters deduplicate value-identical tensors by emitting one
+    initializer plus Identity(src) -> alias nodes (e.g. a fresh
+    BatchNorm's running_var aliasing its all-ones weight) — the alias
+    names are restored so porting sees every tensor."""
     with open(path, 'rb') as f:
         data = f.read()
     model = memoryview(data)
     named: Dict[str, np.ndarray] = {}
-    identities = []                          # (input_name, output_name)
+    nodes = []                               # (op_type, inputs, outputs)
     for field, wire, graph in _fields(model):
         if field != 7 or wire != 2:          # ModelProto.graph
             continue
@@ -291,13 +295,19 @@ def read_initializers(path: str) -> Dict[str, np.ndarray]:
                         outs.append(bytes(v).decode('utf-8'))
                     elif nfield == 4:
                         op = bytes(v).decode('utf-8')
-                if op == 'Identity' and len(ins) == 1 and len(outs) == 1:
-                    identities.append((ins[0], outs[0]))
+                nodes.append((op, ins, outs))
     # Nodes are topologically sorted, so one pass resolves alias chains.
-    for src, dst in identities:
-        if src in named and dst not in named:
-            named[dst] = named[src]
+    for op, ins, outs in nodes:
+        if (op == 'Identity' and len(ins) == 1 and len(outs) == 1
+                and ins[0] in named and outs[0] not in named):
+            named[outs[0]] = named[ins[0]]
     if not named:
         raise ValueError(f'{path}: no graph initializers found '
                          '(not an ONNX ModelProto?)')
-    return named
+    return named, nodes
+
+
+def read_initializers(path: str) -> Dict[str, np.ndarray]:
+    """Read an .onnx file's graph initializers as {name: ndarray} — the
+    exact input models/onnx_port.convert_named_tensors consumes."""
+    return read_graph(path)[0]

@@ -90,6 +90,31 @@ def test_bn_stats_not_scrambled(tiny):
     np.testing.assert_array_equal(np.asarray(p['bias']), named[b])
 
 
+def _export_twin_onnx(twin, img, path):
+    """Export the torch twin with the REAL legacy ONNX exporter.
+
+    torch's legacy exporter only needs the onnx package for an
+    onnxscript post-pass that is a no-op without custom ops — shim it
+    out so the export works in this onnx-less environment. The module
+    path is torch-internal and has moved across 2.x releases: skip
+    (not fail) on torch versions where it lives elsewhere."""
+    import torch
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils)
+    except ImportError:
+        pytest.skip('torch internal onnx_proto_utils moved; cannot shim '
+                    'the legacy exporter on this torch version')
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _: model_bytes
+    try:
+        torch.onnx.export(twin, torch.from_numpy(img), path,
+                          opset_version=11, dynamo=False,
+                          do_constant_folding=False)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
 def test_torch_export_parse_port_forward_parity(tmp_path):
     """Hermetic end-to-end port of a REAL exporter-named ONNX graph,
     without the onnx package: an independent torch implementation of the
@@ -109,26 +134,8 @@ def test_torch_export_parse_port_forward_parity(tmp_path):
     rng = np.random.default_rng(1)
     img = rng.integers(0, 255, (1, H, W, 3)).astype(np.float32)
 
-    # torch's legacy exporter only needs the onnx package for an
-    # onnxscript post-pass that is a no-op without custom ops — shim it
-    # out so the export works in this onnx-less environment. The module
-    # path is torch-internal and has moved across 2.x releases: skip
-    # (not fail) on torch versions where it lives elsewhere.
-    try:
-        from torch.onnx._internal.torchscript_exporter import (
-            onnx_proto_utils)
-    except ImportError:
-        pytest.skip('torch internal onnx_proto_utils moved; cannot shim '
-                    'the legacy exporter on this torch version')
-    orig = onnx_proto_utils._add_onnxscript_fn
-    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _: model_bytes
-    try:
-        path = str(tmp_path / 'twin.onnx')
-        torch.onnx.export(twin, torch.from_numpy(img), path,
-                          opset_version=11, dynamo=False,
-                          do_constant_folding=False)
-    finally:
-        onnx_proto_utils._add_onnxscript_fn = orig
+    path = str(tmp_path / 'twin.onnx')
+    _export_twin_onnx(twin, img, path)
 
     # Reader sees the real exporter names, bit-exact tensor values.
     from pc_accumulation_lib_tpu.models import onnx_pb
@@ -250,3 +257,101 @@ def test_onnx_writer_typed_negatives_and_aliases(tmp_path):
         # Alias chains resolve through intermediate aliases (nodes are
         # topologically sorted, one pass).
         np.testing.assert_array_equal(got['f32_alias2'], named['f32'])
+
+
+def test_structural_port_survives_name_mangling(tmp_path):
+    """Name-drift-proof port (the residual checkpoint-fidelity risk):
+    exporter pipelines that rename every initializer (`onnx::Conv_123`,
+    bare numerics after folding) defeat name matching. The REAL torch
+    export is re-read, every initializer renamed to an opaque t{i} (node
+    inputs rewritten to match), and the structural dataflow matcher must
+    recover every role — pinned by exact equality with the name-based
+    port AND forward parity vs torch. stage_sizes=(2,1,1,1) includes a
+    no-downsample bottleneck (layer1.1), the walker's other block shape."""
+    torch = pytest.importorskip('torch')
+    from tests.torch_semseg_twin import TorchResNet50DilatedFCN, randomize_
+
+    twin = TorchResNet50DilatedFCN(stage_sizes=(2, 1, 1, 1))
+    twin.eval()
+    randomize_(twin, seed=9)
+    H, W = 32, 64
+    img = np.random.default_rng(2).integers(
+        0, 255, (1, H, W, 3)).astype(np.float32)
+    path = str(tmp_path / 'twin.onnx')
+    _export_twin_onnx(twin, img, path)
+
+    from pc_accumulation_lib_tpu.models import onnx_pb
+    named, nodes = onnx_pb.read_graph(path)
+    ren = {k: f't{i}' for i, k in enumerate(sorted(named))}
+    mangled = {ren[k]: v for k, v in named.items()}
+    mnodes = [(op, [ren.get(x, x) for x in ins], outs)
+              for op, ins, outs in nodes]
+
+    model = ResNet50DilatedFCN(stage_sizes=(2, 1, 1, 1), dtype=jnp.float32)
+    template = init_params(model, jax.random.PRNGKey(0), img_hw=(H, W))
+    with pytest.raises(ValueError):
+        onnx_port.convert_named_tensors(mangled, variables=template)
+
+    mapping = onnx_port.structural_torch_names(mangled, mnodes)
+    # The recovered mapping must agree with the untouched exporter names
+    # tensor-for-tensor (values compared, not just names).
+    for src, tname in mapping.items():
+        hits = [k for k in named if k == tname or k.endswith('.' + tname)]
+        assert len(hits) == 1, (tname, hits)
+        np.testing.assert_array_equal(mangled[src], named[hits[0]])
+    renamed = {tn: mangled[src] for src, tn in mapping.items()}
+    variables = onnx_port.convert_named_tensors(renamed,
+                                                variables=template)
+    with torch.no_grad():
+        t_logits = twin(torch.from_numpy(img)).numpy()
+    with jax.default_matmul_precision('highest'):
+        f_logits = np.asarray(model.apply(variables, jnp.asarray(img),
+                                          train=False))
+    np.testing.assert_allclose(f_logits, t_logits, atol=2e-2, rtol=0)
+    agree = np.mean(f_logits.argmax(-1) == t_logits.argmax(-1))
+    assert agree >= 0.998, f'argmax parity {agree}'
+
+
+def test_load_onnx_variables_structural_fallback(tmp_path):
+    """load_onnx_variables itself must take the structural path when the
+    file's initializer names are garbage: the mangled graph is written
+    back out with the package's own writer (initializers + the original
+    node topology via Identity-free node records are not writable, so
+    the graph is rebuilt through onnx_pb primitives) and ported."""
+    torch = pytest.importorskip('torch')
+    from tests.torch_semseg_twin import TorchResNet50DilatedFCN, randomize_
+
+    twin = TorchResNet50DilatedFCN(stage_sizes=(1, 1, 1, 1))
+    twin.eval()
+    randomize_(twin, seed=11)
+    H, W = 32, 64
+    img = np.random.default_rng(3).integers(
+        0, 255, (1, H, W, 3)).astype(np.float32)
+    path = str(tmp_path / 'twin.onnx')
+    _export_twin_onnx(twin, img, path)
+
+    # Mangle the names INSIDE the file: byte-patch each initializer's
+    # name record to an equal-length opaque string so the file stays a
+    # valid ModelProto with the original node topology.
+    from pc_accumulation_lib_tpu.models import onnx_pb
+    named, nodes = onnx_pb.read_graph(path)
+    blob = open(path, 'rb').read()
+    for i, k in enumerate(sorted(named, key=len, reverse=True)):
+        enc = k.encode()
+        repl = (b'z%d' % i).ljust(len(enc), b'_')[:len(enc)]
+        assert blob.count(enc) >= 1, k
+        blob = blob.replace(enc, repl)
+    mpath = str(tmp_path / 'mangled.onnx')
+    open(mpath, 'wb').write(blob)
+    m_named, m_nodes = onnx_pb.read_graph(mpath)
+    assert not any(n in m_named for n in named), 'mangling failed'
+    assert [op for op, _, _ in m_nodes] == [op for op, _, _ in nodes]
+
+    model = ResNet50DilatedFCN(stage_sizes=(1, 1, 1, 1), dtype=jnp.float32)
+    template = init_params(model, jax.random.PRNGKey(0), img_hw=(H, W))
+    variables = onnx_port.load_onnx_variables(mpath, variables=template)
+    ref_vars = onnx_port.load_onnx_variables(path, variables=template)
+    flat_a = jax.tree_util.tree_leaves(variables)
+    flat_b = jax.tree_util.tree_leaves(ref_vars)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
