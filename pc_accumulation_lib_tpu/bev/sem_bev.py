@@ -64,10 +64,18 @@ class SemBEVGenerator:
                  height_filter: Optional[float] = None, rgb_fill: int = 0,
                  seed: Optional[int] = None, mesh=None,
                  fetch_dtype: str = 'float16',
-                 sparse_cap: Optional[int] = None):
+                 sparse_cap: Optional[int] = None,
+                 mesh_impl: str = 'tile'):
         """``mesh``: optional jax.sharding.Mesh with a 'points' axis — the
-        raster then runs point-sharded across devices with psum/pmin
-        partial combination (parallel/sharded.py) instead of single-chip.
+        raster then runs point-sharded across devices instead of
+        single-chip. ``mesh_impl`` picks the engine: 'tile' (default,
+        parallel/sharded.make_tile_sharded_raster_fn — cells stripe
+        across chips, points fly once to their cell's owner, per-stripe
+        stats use the same sort+Pallas pipeline as single-chip) or
+        'psum' (the readable combine-accumulators spec,
+        make_sharded_raster_fn — its rgb-histogram all-reduce is
+        ~200 MB/split at P=256, so it is the reference implementation,
+        not the production engine).
 
         ``fetch_dtype``: transfer encoding for the remote-TPU tunnel
         (~25-40 MB/s, so fetched bytes bound BEV throughput):
@@ -140,9 +148,14 @@ class SemBEVGenerator:
         self._sparse_empty = core.sparse_empty_values(
             int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
         if mesh is not None:
-            from pc_accumulation_lib_tpu.parallel.sharded import (
-                make_sharded_raster_fn)
-            self._raster = make_sharded_raster_fn(
+            from pc_accumulation_lib_tpu.parallel import sharded
+            if mesh_impl not in ('tile', 'psum'):
+                raise ValueError(f'mesh_impl must be tile|psum, '
+                                 f'got {mesh_impl!r}')
+            make = (sharded.make_tile_sharded_raster_fn
+                    if mesh_impl == 'tile'
+                    else sharded.make_sharded_raster_fn)
+            self._raster = make(
                 mesh, self.view_size, self.pixel_size, self.sem_idxs,
                 int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill,
                 pack='sparse' if fetch_dtype == 'sparse' else None,
@@ -168,7 +181,13 @@ class SemBEVGenerator:
 
     def close(self):
         """Release the persistent harvest/decode thread pool (also runs
-        automatically when the generator is garbage-collected)."""
+        automatically when the generator is garbage-collected) and drain
+        any pending tile-raster overflow checks (the last <=3 rasters'
+        counters — parallel/sharded.make_tile_sharded_raster_fn — would
+        otherwise go unchecked at job end)."""
+        drain = getattr(self._raster, 'drain', None)
+        if drain is not None:
+            drain()
         if self._pool_finalizer is not None:
             self._pool_finalizer()
             self._pool_finalizer = None

@@ -135,62 +135,118 @@ def pack_payload_words(road_f, dyn_f, rgb, int_road, z):
     return packed, (z16 << 16) | i16
 
 
-def split_stats_from_packed(c2, packed, packed2, pixel_size, gen_future,
-                            rgb_fill=0, pallas_interpret=False,
-                            hist_medians=True):
-    """Pallas-kernel split stats from pre-packed payload words.
+def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
+                                rgb_fill=0, use_pallas=True,
+                                pallas_interpret=False, hist_medians=True):
+    """Split stats from pre-packed payload words over a FLAT cell range.
 
-    The 1-key sort (a 2-key comparator costs ~2x on the main sort,
-    measured on v5e; the kernel's per-group min is order-independent so z
-    rides as payload) + one bandwidth-bound Pallas pass for every sum, the
-    z-min and (with hist_medians) the exact per-group rgb medians
-    (ops/pallas_stats.py) instead of cumsums + a per-group searchsorted +
-    6 median sorts.
+    The tile form of the raster stats: ``n_cells`` is any cell count — a
+    full (P,P) map, or one device's stripe of cells in the tile-sharded
+    mesh raster (parallel/sharded.make_tile_sharded_raster_fn). Returns
+    {channel_split: (n_cells,)} flat maps ((3, n_cells) for rgb); the
+    caller reshapes/assembles.
+
+    ``use_pallas``: the 1-key sort + segmented-stats kernel path (the
+    group count is padded up to the kernel's 512-group window; pad
+    groups are empty and sliced off — real sentinel rows land in pad
+    group ``sent`` and are dropped by the slice). Otherwise a pure-XLA
+    fallback unpacking the features from the words: z (f16 bits) rides
+    as the secondary sort key so the segment-start read IS the min
+    (exact — the shipped elevation channel is f16 anyway); intensity is
+    the u16 payload (~2e-5 on per-cell means, inside the 2e-3 on-chip
+    parity gate even after the road-marking sigmoid gain).
     """
-    P = pixel_size
-    n_cells = P * P
     nsplit = 2 if gen_future else 1
     sent = n_cells * nsplit
-    from pc_accumulation_lib_tpu.ops import pallas_stats
-    s_c2, s_packed, s_p2 = jax.lax.sort((c2, packed, packed2), num_keys=1)
-    s_z = jax.lax.bitcast_convert_type(
-        ((s_p2 >> 16) & 0xFFFF).astype(jnp.uint16),
-        jnp.float16).astype(jnp.float32)
-    s_int = (s_p2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
-    s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
-    s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
-    if hist_medians:
-        value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
-                      ((s_packed >> 8) & 255).astype(jnp.float32),
-                      (s_packed & 255).astype(jnp.float32)]
-    else:
-        value_rows = ()
-    st = pallas_stats.segmented_stats(
-        s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z, sent,
-        interpret=pallas_interpret, value_rows=value_rows,
-        med_nsplit=nsplit)
-    sums, zmin = st[0], st[1]
-    kmeds = st[2] if hist_medians else None
-    lens = sums[:, 0]
-    road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
-    zmin = jnp.where(lens > 0, zmin, jnp.inf)
 
-    lens_s, road_s, dyn_s, int_ss, zmin_s = _per_split_with_full(
-        (lens, road_c, dyn_c, int_s, zmin), n_cells, gen_future)
+    if use_pallas:
+        from pc_accumulation_lib_tpu.ops import pallas_stats
+        sent_pad = ((sent + 511) // 512) * 512
+        s_c2, s_packed, s_p2 = jax.lax.sort((c2, packed, packed2),
+                                            num_keys=1)
+        s_z = jax.lax.bitcast_convert_type(
+            ((s_p2 >> 16) & 0xFFFF).astype(jnp.uint16),
+            jnp.float16).astype(jnp.float32)
+        s_int = (s_p2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
+        s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
+        s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
+        if hist_medians:
+            value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
+                          ((s_packed >> 8) & 255).astype(jnp.float32),
+                          (s_packed & 255).astype(jnp.float32)]
+        else:
+            value_rows = ()
+        st = pallas_stats.segmented_stats(
+            s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z,
+            sent_pad, interpret=pallas_interpret, value_rows=value_rows,
+            med_nsplit=nsplit)
+        sums, zmin = st[0][:sent], st[1][:sent]
+        kmeds = st[2][:, :, :sent] if hist_medians else None
+        lens = sums[:, 0]
+        road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
+        zmin = jnp.where(lens > 0, zmin, jnp.inf)
 
-    out = {}
-    if kmeds is not None:
-        med = _medians_from_kernel(kmeds, lens, n_cells, nsplit, rgb_fill)
+        lens_s, road_s, dyn_s, int_ss, zmin_s = _per_split_with_full(
+            (lens, road_c, dyn_c, int_s, zmin), n_cells, gen_future)
+
+        out = {}
+        if kmeds is not None:
+            med = _medians_from_kernel(kmeds, lens, n_cells, nsplit,
+                                       rgb_fill)
+            for s in lens_s:
+                _emit_split(out, s, lens_s[s], road_s[s], int_ss[s],
+                            dyn_s[s], zmin_s[s], med[s], None)
+            return out
+
+        # No in-kernel medians: per-channel median sorts on the unpacked
+        # u8 values (needs the rgb bytes in word1 regardless — callers
+        # always pack them; boundary table from the kernel's exact group
+        # sizes).
+        ends = jnp.cumsum(lens.astype(jnp.int32))
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+        med = _median_sorts(c2, packed, starts, ends, n_cells, nsplit,
+                            gen_future, rgb_fill, lens_s)
         for s in lens_s:
             _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
-                        zmin_s[s], med[s], P)
+                        zmin_s[s], med[s], None)
         return out
 
-    # No in-kernel medians: per-channel median sorts on the unpacked u8
-    # values (needs the rgb bytes in word1 regardless — callers always
-    # pack them; boundary table from the kernel's exact group sizes).
-    ends = jnp.cumsum(lens.astype(jnp.int32))
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    # Pure-XLA fallback (no kernel anywhere — e.g. CPU-mesh shards).
+    z = jax.lax.bitcast_convert_type(
+        ((packed2 >> 16) & 0xFFFF).astype(jnp.uint16),
+        jnp.float16).astype(jnp.float32)
+    int_road = (packed2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
+    road_f = ((packed >> 25) & 1).astype(jnp.float32)
+    dyn_f = ((packed >> 24) & 1).astype(jnp.float32)
+    s_c2, s_z, s_int, s_road, s_dyn = jax.lax.sort(
+        (c2, z, int_road, road_f, dyn_f), num_keys=2)
+    starts, ends = _boundaries(s_c2, sent)
+    lens = (ends - starts).astype(jnp.float32)
+    road_c = jax.ops.segment_sum(s_road, s_c2,
+                                 num_segments=sent + 1)[:sent]
+    dyn_c = jax.ops.segment_sum(s_dyn, s_c2,
+                                num_segments=sent + 1)[:sent]
+    int_s = jax.ops.segment_sum(s_int, s_c2,
+                                num_segments=sent + 1)[:sent]
+    n_total = s_c2.shape[0]
+    zmin = s_z[jnp.clip(starts, 0, n_total - 1)]
+    zmin = jnp.where(lens > 0, zmin, jnp.inf)
+    lens_s, road_s, dyn_s, int_ss, zmin_s = _per_split_with_full(
+        (lens, road_c, dyn_c, int_s, zmin), n_cells, gen_future)
+    med = _median_sorts(c2, packed, starts, ends, n_cells, nsplit,
+                        gen_future, rgb_fill, lens_s)
+    out = {}
+    for s in lens_s:
+        _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
+                    zmin_s[s], med[s], None)
+    return out
+
+
+def _median_sorts(c2, packed, starts, ends, n_cells, nsplit, gen_future,
+                  rgb_fill, lens_s):
+    """Exact per-split rgb medians via packed (c2*256 + value) sorts —
+    the non-kernel formulation; values are the u8 rgb bytes in word1."""
+    sent = n_cells * nsplit
     med = {s: [] for s in lens_s}
     starts2 = starts.reshape(n_cells, nsplit)
     ends2 = ends.reshape(n_cells, nsplit)
@@ -213,10 +269,28 @@ def split_stats_from_packed(c2, packed, packed2, pixel_size, gen_future,
                 _median_from_sorted(full_sorted, starts2[:, 0],
                                     (ends2[:, 1] - starts2[:, 0]),
                                     rgb_fill))
-    for s in lens_s:
-        _emit_split(out, s, lens_s[s], road_s[s], int_ss[s], dyn_s[s],
-                    zmin_s[s], med[s], P)
-    return out
+    return med
+
+
+def split_stats_from_packed(c2, packed, packed2, pixel_size, gen_future,
+                            rgb_fill=0, pallas_interpret=False,
+                            hist_medians=True):
+    """Pallas-kernel split stats from pre-packed payload words.
+
+    The 1-key sort (a 2-key comparator costs ~2x on the main sort,
+    measured on v5e; the kernel's per-group min is order-independent so z
+    rides as payload) + one bandwidth-bound Pallas pass for every sum, the
+    z-min and (with hist_medians) the exact per-group rgb medians
+    (ops/pallas_stats.py) instead of cumsums + a per-group searchsorted +
+    6 median sorts. (P,P)-shaped wrapper over split_stats_from_words_flat.
+    """
+    P = pixel_size
+    flat = split_stats_from_words_flat(
+        c2, packed, packed2, P * P, gen_future, rgb_fill=rgb_fill,
+        use_pallas=True, pallas_interpret=pallas_interpret,
+        hist_medians=hist_medians)
+    return {k: v.reshape((3, P, P) if v.ndim == 2 else (P, P))
+            for k, v in flat.items()}
 
 
 def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
@@ -333,13 +407,16 @@ def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
 
 def _emit_split(out, s, cnt, road_c, int_s, dyn_c, zmin, meds, P):
     """Finalize one split's channel maps (Dirichlet probmaps, road-mean
-    intensity, min-z elevation, median rgb, raw counts)."""
-    out[f'road_{s}'] = ((road_c + 1.0) / (cnt + 2.0)).reshape(P, P)
-    out[f'intensity_{s}'] = (int_s / (road_c + 1.0)).reshape(P, P)
-    out[f'rgb_{s}'] = jnp.stack([m.reshape(P, P) for m in meds]) / 255.0
-    out[f'dynamic_{s}'] = ((dyn_c + 1.0) / (cnt + 2.0)).reshape(P, P)
-    out[f'elevation_{s}'] = jnp.where(cnt > 0, zmin, 0.0).reshape(P, P)
+    intensity, min-z elevation, median rgb, raw counts). ``P=None``
+    emits FLAT (n_cells,) maps (the tile-sharded raster's per-stripe
+    form); otherwise (P,P)."""
+    shp = (lambda a: a) if P is None else (lambda a: a.reshape(P, P))
+    out[f'road_{s}'] = shp((road_c + 1.0) / (cnt + 2.0))
+    out[f'intensity_{s}'] = shp(int_s / (road_c + 1.0))
+    out[f'rgb_{s}'] = jnp.stack([shp(m) for m in meds]) / 255.0
+    out[f'dynamic_{s}'] = shp((dyn_c + 1.0) / (cnt + 2.0))
+    out[f'elevation_{s}'] = shp(jnp.where(cnt > 0, zmin, 0.0))
     # Per-cell point counts: every other channel holds a known constant
     # where count==0, which is what the sparse fetch packing keys on
     # (bev/core.py pack='sparse').
-    out[f'count_{s}'] = cnt.reshape(P, P)
+    out[f'count_{s}'] = shp(cnt)

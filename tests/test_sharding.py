@@ -384,3 +384,103 @@ def test_step_with_mesh_matches_single_step(rng):
                 atol = 0.0 if key.startswith('elevation') else \
                     2e-2 if key.startswith('intensity') else 1.5 / 255
                 np.testing.assert_allclose(b, a, atol=atol, err_msg=key)
+
+
+def test_tile_sharded_raster_matches_single_device(rng):
+    """The tile-sharded (all-to-all) mesh raster must reproduce the
+    single-device raster: cells stripe across chips, each point flies
+    once to its cell's owner, stats (incl. EXACT medians) are computed
+    locally with the sort pipeline, and only finished stripes gather —
+    nothing histogram-shaped ever crosses the interconnect."""
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=5)
+
+    single = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5)
+    maps_single = core.unpack_maps(
+        np.asarray(single(jnp.asarray(pts), jnp.asarray(valid),
+                          jnp.asarray(fids), jnp.zeros(4, jnp.float32),
+                          params.pack(), True)), True)
+
+    tile_fn = sharded.make_tile_sharded_raster_fn(mesh, 40.0, P, SEM_IDXS,
+                                                  20., 20., 0.5)
+    sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
+                                              jnp.asarray(valid),
+                                              jnp.asarray(fids))
+    maps_tile = core.unpack_maps(
+        np.asarray(tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params,
+                           True)), True)
+    tile_fn.drain()   # no overflow at the default capacity factor
+
+    assert set(maps_single) == set(maps_tile)
+    for k in maps_single:
+        # f16 stacks; intensity additionally rides the u16 payload
+        # (~2e-5 pre-sigmoid, amplified by the road-marking transform).
+        atol = 4e-3 if k.startswith('intensity') else 1e-3
+        np.testing.assert_allclose(np.asarray(maps_tile[k], np.float32),
+                                   np.asarray(maps_single[k], np.float32),
+                                   atol=atol, err_msg=k)
+
+
+def test_tile_sharded_sparse_and_tuple_form(rng):
+    """pack='sparse' tile outputs decode to the single-chip sparse
+    stacks, and the (pose_vec, aug9) split-params form (the step() fast
+    path's device-pose contract) matches the packed-params form
+    exactly."""
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=5)
+    cap = P * P
+    empty = core.sparse_empty_values(20., 20., 0.5)
+
+    single = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5,
+                                 pack='sparse', sparse_cap=cap)
+    sp_s, _ = single(jnp.asarray(pts), jnp.asarray(valid),
+                     jnp.asarray(fids), jnp.zeros(4, jnp.float32),
+                     params.pack(), True)
+
+    tile_fn = sharded.make_tile_sharded_raster_fn(
+        mesh, 40.0, P, SEM_IDXS, 20., 20., 0.5, pack='sparse',
+        sparse_cap=cap)
+    sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
+                                              jnp.asarray(valid),
+                                              jnp.asarray(fids))
+    sp_t, _ = tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params, True)
+
+    a = core.decode_sparse_stack(np.asarray(sp_s), True, P, cap, empty)
+    b = core.decode_sparse_stack(np.asarray(sp_t), True, P, cap, empty)
+    n_mask_bytes = 2 * (P * P // 8)
+    np.testing.assert_array_equal(np.asarray(sp_s)[:n_mask_bytes],
+                                  np.asarray(sp_t)[:n_mask_bytes])
+    for ci, name in enumerate(('road', 'intensity', 'r', 'g', 'b',
+                               'dynamic', 'elevation')):
+        for s in range(3):
+            d = np.abs(a[s * 7 + ci].astype(np.float32)
+                       - b[s * 7 + ci].astype(np.float32)).max()
+            tol = 0.0 if name == 'elevation' else \
+                2e-2 if name == 'intensity' else 1.5 / 255
+            assert d <= tol, (name, s, d)
+
+    # Split-params (pose_vec, aug9) == packed-params, bit-for-bit.
+    packed = jnp.asarray(params.pack())
+    sp_t2, _ = tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32),
+                       (packed[:22], packed[22:31]), True)
+    np.testing.assert_array_equal(np.asarray(sp_t), np.asarray(sp_t2))
+    tile_fn.drain()
+
+
+def test_tile_sharded_overflow_raises(rng):
+    """A destination stripe over its all-to-all capacity must raise
+    TileRouteOverflow (loud, a few calls behind) — never silently drop
+    rows."""
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=5)
+    tile_fn = sharded.make_tile_sharded_raster_fn(
+        mesh, 40.0, P, SEM_IDXS, 20., 20., 0.5, dest_cap_factor=0.02)
+    sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
+                                              jnp.asarray(valid),
+                                              jnp.asarray(fids))
+    _ = tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params, True)
+    with pytest.raises(sharded.TileRouteOverflow):
+        tile_fn.drain()
