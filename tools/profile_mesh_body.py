@@ -44,7 +44,24 @@ P = 256
 SEM_IDXS = cfg.DEFAULT_SEM_IDXS
 
 
-def timed(fn, args, reps=8, warm=2):
+def _rtt_floor(reps=8):
+    """Median cost of fetching a tiny READY array — the tunnel round
+    every timed() measurement pays once; subtracted so numbers are
+    device-compute estimates like the other tools/profile_*.py."""
+    base = jnp.zeros((2,), jnp.float32)
+    bump = jax.jit(lambda x, i: x + i)
+    _ = np.asarray(bump(base, 0.0))
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        # A FRESH output buffer each rep: jax caches the host copy of an
+        # already-fetched array, so refetching the same buffer is free.
+        _ = np.asarray(bump(base, float(i + 1)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def timed(fn, args, rtt, reps=8, warm=2):
     for _ in range(warm):
         out = fn(*args)
     outs = jax.tree_util.tree_leaves(out)
@@ -56,7 +73,7 @@ def timed(fn, args, reps=8, warm=2):
         probe = jax.tree_util.tree_leaves(out)[0]
         _ = np.asarray(probe.reshape(-1)[:2])   # forces completion
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3
+    return max(0.0, float(np.median(ts)) - rtt) * 1e3
 
 
 def main():
@@ -78,6 +95,8 @@ def main():
 
     params = core.identity_params(window=(0, 7), present_frame=4)
     packed = jnp.asarray(params.pack())
+    rtt = _rtt_floor()
+    print(f'rtt floor subtracted: {rtt*1e3:.1f} ms', file=sys.stderr)
 
     # --- A: psum body local work at one shard's row count -------------
     @jax.jit
@@ -96,7 +115,7 @@ def main():
         return jnp.stack([out[i]['road'] for i in range(3)])
 
     pts_l, val_l, fid_l = cloud(M_l)
-    a = timed(psum_local, (pts_l, val_l, fid_l))
+    a = timed(psum_local, (pts_l, val_l, fid_l), rtt)
     print(f'A psum-body local (scatter+hist, {M_l} rows): {a:.1f} ms',
           file=sys.stderr)
 
@@ -104,7 +123,7 @@ def main():
     raster = core.make_raster_fn(80.0, P, SEM_IDXS, 20., 20., 0.5)
     pts, val, fid = cloud(M)
     b = timed(lambda *args: raster(*args, True),
-              (pts, val, fid, jnp.zeros(4, jnp.float32), packed))
+              (pts, val, fid, jnp.zeros(4, jnp.float32), packed), rtt)
     print(f'B single-chip sort+kernel raster ({M} rows): {b:.1f} ms',
           file=sys.stderr)
 
@@ -130,7 +149,7 @@ def main():
         return (jnp.where(ok, sc2[idxc], 0), jnp.where(ok, sw1[idxc], 0),
                 jnp.where(ok, sw2[idxc], 0))
 
-    c = timed(route, (pts_l, val_l, fid_l))
+    c = timed(route, (pts_l, val_l, fid_l), rtt)
     print(f'C tile routing (dest sort + cap gather, {M_l} rows -> '
           f'{n}x{cap}): {c:.1f} ms', file=sys.stderr)
     print(f'=> psum-body/sort ratio at equal rows ~ '
