@@ -369,10 +369,12 @@ class SemBEVGenerator:
         (1.4 MB chunks) and ~8%% slower at 8 (2.9 MB chunks stall)."""
         # Mesh note: the point-sharded raster accepts the same
         # (pose_vec, aug9) device tuple (parallel/sharded.py), so this
-        # zero-host-sync path works multi-chip too — it takes the
-        # per-sample dispatch branch below (the grouped lax.scan and the
-        # prepped-point hoisting are single-chip: _prepped_ok gates them
-        # off when self._mesh is set). The caller pre-shards the point
+        # zero-host-sync path works multi-chip too. The tile engine also
+        # carries the grouped lax.scan dispatch (raster.group — one
+        # shard_map submission per fetch group, taken below); only the
+        # prepped-point hoisting stays single-chip (_prepped_ok gates it
+        # off when self._mesh is set: prep output would need re-sharding
+        # per step for no dispatch win). The caller pre-shards the point
         # arrays once per step (accum/kitti360.step) so the bev_num raster
         # calls don't each re-lay-out the buffer.
         if not self.do_aug:
@@ -422,6 +424,29 @@ class SemBEVGenerator:
                     # the row ON DEVICE first — fetching the whole group
                     # (G x cap buffers, tens of MB at P=512) through the
                     # tunnel for one sample would stall seconds.
+                    outs.append(
+                        (lambda a=sp_g, i=r: np.asarray(a[i]),
+                         lambda a=dn_g, i=r: np.asarray(a[i])))
+            return self._make_device_finalize(outs, draws, groups,
+                                              fetch_group, n_samples,
+                                              gen_future, trajs_fn)
+        mesh_group = (getattr(self._raster, 'group', None)
+                      if prepped is None else None)
+        if mesh_group is not None and self.fetch_dtype == 'sparse' \
+                and n_samples > 1 and not self._force_ungrouped_dispatch:
+            # Mesh (tile-engine) counterpart of the grouped dispatch
+            # above: one shard_map submission scans the fetch group's aug
+            # draws (parallel/sharded.make_tile_sharded_raster_fn), same
+            # stacked-group fetch and lazy per-row fallback getters.
+            fetch_group = max(1, fetch_group)
+            outs, groups = [], []
+            for g0 in range(0, n_samples, fetch_group):
+                aug_g = np.stack(aug9s[g0:g0 + fetch_group])
+                sp_g, dn_g = mesh_group(points, valid, pt_frame_ids,
+                                        inst_dyn, pose_vec, aug_g,
+                                        gen_future)
+                groups.append(self._start_fetch(sp_g, gen_future))
+                for r in range(aug_g.shape[0]):
                     outs.append(
                         (lambda a=sp_g, i=r: np.asarray(a[i]),
                          lambda a=dn_g, i=r: np.asarray(a[i])))

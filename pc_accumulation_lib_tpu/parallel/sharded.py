@@ -363,6 +363,34 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     tfns = {True: jax.jit(build(True, True)),
             False: jax.jit(build(False, True))}
 
+    def build_group(gen_future):
+        # Grouped dispatch (mesh counterpart of
+        # bev/core.make_prepped_raster_group_fn): ONE shard_map dispatch
+        # runs a whole fetch-group of rasters as a lax.scan over the
+        # stacked aug draws. Motivation is DISPATCH exposure, not device
+        # time — each eager mesh submission is a control round (on the
+        # remote tunnel 16/step measured 40-120 ms of main-thread time),
+        # and the scan output IS the stacked group the sparse fetch
+        # ships. Overflow counters sum across the group.
+        def group_f(points, valid, fids, inst_dyn, pose_vec, aug9s):
+            def step(over_acc, aug9):
+                packed = jnp.concatenate([pose_vec, aug9])
+                out, over = tile_body(points, valid, fids, inst_dyn,
+                                      packed, gen_future)
+                return over_acc + over, out
+            over_tot, outs = jax.lax.scan(
+                step, jnp.zeros((), jnp.int32), aug9s)
+            return outs, over_tot
+
+        out_spec = (((rep, rep) if pack == 'sparse' else rep), rep)
+        return jax.shard_map(group_f, mesh=mesh,
+                             in_specs=(pt_spec, pt_spec, pt_spec, rep,
+                                       rep, rep),
+                             out_specs=out_spec, check_vma=False)
+
+    gfns = {True: jax.jit(build_group(True)),
+            False: jax.jit(build_group(False))}
+
     import collections
     pending = collections.deque()
 
@@ -405,7 +433,25 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         while pending:
             _check(pending.popleft())
 
+    def raster_group(points, valid, pt_frame_ids, inst_dyn, pose_vec,
+                     aug9s, gen_future):
+        """Fetch-group dispatch: (pose_vec, (G,9) aug draws) -> outputs
+        stacked along a leading G axis (sparse: ((G, nb), (G, ndn)));
+        one device submission for the whole group."""
+        out, over = gfns[bool(gen_future)](
+            points, valid, pt_frame_ids, inst_dyn, pose_vec,
+            jnp.asarray(aug9s, jnp.float32))
+        try:
+            over.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append(over)
+        while len(pending) > 3:
+            _check(pending.popleft())
+        return out
+
     raster.drain = drain
+    raster.group = raster_group
     return raster
 
 

@@ -484,3 +484,40 @@ def test_tile_sharded_overflow_raises(rng):
     _ = tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params, True)
     with pytest.raises(sharded.TileRouteOverflow):
         tile_fn.drain()
+
+
+def test_tile_sharded_group_matches_per_sample(rng):
+    """raster.group — ONE shard_map submission scanning a fetch group's
+    aug draws (the mesh counterpart of the single-chip grouped-scan
+    dispatch) — must reproduce the per-sample tuple-form dispatches
+    bit-for-bit, stacked along the leading group axis."""
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=5)
+    cap = P * P
+    tile_fn = sharded.make_tile_sharded_raster_fn(
+        mesh, 40.0, P, SEM_IDXS, 20., 20., 0.5, pack='sparse',
+        sparse_cap=cap)
+    sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
+                                              jnp.asarray(valid),
+                                              jnp.asarray(fids))
+    packed = jnp.asarray(params.pack())
+    pose_vec = packed[:22]
+    rng2 = np.random.default_rng(7)
+    aug9s = np.stack([
+        np.concatenate([rng2.uniform(-0.5, 0.5, 4),
+                        rng2.uniform(-0.05, 0.05, 4),
+                        [np.inf]]).astype(np.float32)
+        for _ in range(3)])
+    aug9s[:, 3] = 1.0 + aug9s[:, 3] * 0.05   # zoom near 1
+    sp_g, dn_g = tile_fn.group(sp, sv, sf, jnp.zeros(4, jnp.float32),
+                               pose_vec, aug9s, True)
+    assert sp_g.shape[0] == 3 and dn_g.shape[0] == 3
+    for i in range(3):
+        sp_i, dn_i = tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32),
+                             (pose_vec, aug9s[i]), True)
+        np.testing.assert_array_equal(np.asarray(sp_g[i]),
+                                      np.asarray(sp_i))
+        np.testing.assert_array_equal(np.asarray(dn_g[i]),
+                                      np.asarray(dn_i))
+    tile_fn.drain()
