@@ -381,7 +381,13 @@ def main(classic: bool = False):
                       # word-dense fetches (1.57 MB vs ~0.27 MB/sample) —
                       # predictable caps beat stochastic fallbacks.
                       fetch_dtype='sparse',
-                      sparse_cap=(16384, 9216, 9216))
+                      sparse_cap=(16384, 9216, 9216),
+                      # Samples per grouped dispatch+fetch; override to
+                      # A/B the per-fetch sync-round amortization
+                      # (tools/profile_harvest.py measured ~30 ms/fetch
+                      # floor; adaptive encoding keeps group-of-8 ~0.6 MB).
+                      fetch_group=int(os.environ.get('BENCH_FETCH_GROUP',
+                                                     '4')))
     bevs_per_sample = 16
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(

@@ -79,6 +79,7 @@ class SemanticPointCloudAccumulator:
                 fetch_dtype=bev_params.get('fetch_dtype', 'float16'),
                 sparse_cap=bev_params.get('sparse_cap'),
                 mesh_impl=bev_params.get('mesh_impl', 'tile'),
+                fetch_group=bev_params.get('fetch_group', 4),
             )
         elif bev_type == 'rgb':
             from pc_accumulation_lib_tpu.bev.rgb_bev import RGBBEVGenerator

@@ -65,7 +65,8 @@ class SemBEVGenerator:
                  seed: Optional[int] = None, mesh=None,
                  fetch_dtype: str = 'float16',
                  sparse_cap: Optional[int] = None,
-                 mesh_impl: str = 'tile'):
+                 mesh_impl: str = 'tile',
+                 fetch_group: int = 4):
         """``mesh``: optional jax.sharding.Mesh with a 'points' axis — the
         raster then runs point-sharded across devices instead of
         single-chip. ``mesh_impl`` picks the engine: 'tile' (default,
@@ -101,6 +102,11 @@ class SemBEVGenerator:
         self.sem_idx = cfg.PT_SEM   # column of semantic info (parity attr)
         self.dyn_idx = cfg.PT_DYN   # column of dynamic flag (parity attr)
         self.fetch_dtype = fetch_dtype
+        # Samples per grouped dispatch+fetch (generate_samples_device);
+        # 4 was tuned pre-adaptive-fetch (1.4 MB chunks) — with the
+        # occupancy-adaptive encoding a group of 8 is only ~0.6 MB, so
+        # larger groups can amortize the ~30 ms per-fetch sync round.
+        self.fetch_group = max(1, int(fetch_group))
         self._mesh = mesh
         self._rng = np.random.default_rng(seed)
         # int or (present, future, full) per-split tuple.
@@ -353,7 +359,7 @@ class SemBEVGenerator:
 
     def generate_samples_device(self, points, valid, pt_frame_ids, inst_dyn,
                                 pose_vec, n_samples: int, gen_future: bool,
-                                trajs_fn, fetch_group: int = 4,
+                                trajs_fn, fetch_group: Optional[int] = None,
                                 prepped=None):
         """Like generate_samples, but the pose-dependent half of the raster
         params (T_ref_world, bev_coords, window — RasterParams fields 0..21)
@@ -365,8 +371,9 @@ class SemBEVGenerator:
         generate_samples. Randomized augmentation only (the heading-aligned
         fallback needs host poses at dispatch time). ``fetch_group``:
         sparse sample buffers are stacked and fetched in groups of this
-        size — measured neutral vs per-sample on the remote tunnel at 4
-        (1.4 MB chunks) and ~8%% slower at 8 (2.9 MB chunks stall)."""
+        size (None -> the generator's ``fetch_group`` attribute)."""
+        if fetch_group is None:
+            fetch_group = self.fetch_group
         # Mesh note: the point-sharded raster accepts the same
         # (pose_vec, aug9) device tuple (parallel/sharded.py), so this
         # zero-host-sync path works multi-chip too. The tile engine also
