@@ -381,7 +381,7 @@ def main(classic: bool = False):
                       # word-dense fetches (1.57 MB vs ~0.27 MB/sample) —
                       # predictable caps beat stochastic fallbacks.
                       fetch_dtype='sparse',
-                      sparse_cap=(16384, 9216, 9216),
+                      sparse_cap=(20480, 10240, 10240),
                       # Samples per grouped dispatch+fetch; override to
                       # A/B the per-fetch sync-round amortization
                       # (tools/profile_harvest.py measured ~30 ms/fetch

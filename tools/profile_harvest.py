@@ -47,7 +47,7 @@ def main():
                       int_scaler=20., int_sep_scaler=20.,
                       int_mid_threshold=0.5, height_filter=None,
                       fetch_dtype='sparse',
-                      sparse_cap=(16384, 9216, 9216))
+                      sparse_cap=(20480, 10240, 10240))
     model = SemSegTPU(seed=0)
     accum = Kitti360SemanticPointCloudAccumulator(
         40.0, calib, 1e3, model, cfg.DEFAULT_SEMSEG_FILTERS,
