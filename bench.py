@@ -307,13 +307,15 @@ def selftest():
 
 
 def main(classic: bool = False):
-    """Default mode: the zero-host-sync step() pipeline. ``classic`` runs
-    the same workload through integrate() + generate_bev() — the path a
-    multi-chip mesh must use (bev/sem_bev.py generate_samples_device is
-    single-chip by design) — so `python bench.py classic` measures the
-    mesh-mode dispatch penalty on one real chip: the per-step host pose
-    sync, per-sample raster dispatch (no prepped hoisting, no grouped
-    scan), and the uncompacted full-ring sweep."""
+    """Default mode: the zero-host-sync step() pipeline (which since r4
+    also drives multi-chip meshes — accum/kitti360.step() pre-shards the
+    point buffer and both mesh engines accept the (pose_vec, aug9) form).
+    ``classic`` runs the same workload through integrate() +
+    generate_bev() — now only the no-augmentation fallback path — so
+    `python bench.py classic` measures that path's dispatch penalty on
+    one real chip: the per-step host pose sync, per-sample raster
+    dispatch (no prepped hoisting, no grouped scan), and the
+    uncompacted full-ring sweep."""
     import jax
     import jax.numpy as jnp
 

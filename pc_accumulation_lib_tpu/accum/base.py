@@ -78,7 +78,7 @@ class SemanticPointCloudAccumulator:
                 mesh=bev_params.get('mesh'),  # point-sharded multi-chip
                 fetch_dtype=bev_params.get('fetch_dtype', 'float16'),
                 sparse_cap=bev_params.get('sparse_cap'),
-                mesh_impl=bev_params.get('mesh_impl', 'tile'),
+                mesh_impl=bev_params.get('mesh_impl', 'auto'),
                 fetch_group=bev_params.get('fetch_group', 4),
             )
         elif bev_type == 'rgb':

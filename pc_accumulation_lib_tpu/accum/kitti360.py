@@ -505,9 +505,9 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             if flat_pts.shape[0] % ax:
                 raise ValueError(
                     f'step() on a mesh: flat point count {flat_pts.shape[0]}'
-                    f' must divide the points-axis size {ax} — size '
-                    'AccumConfig.compact_cap (or max_frames * painted_cap) '
-                    'to a multiple of the mesh points axis.')
+                    f' must be divisible by the points-axis size {ax} — '
+                    'size AccumConfig.compact_cap (or max_frames * '
+                    'painted_cap) to a multiple of the mesh points axis.')
             flat_pts, flat_valid, pt_fids = shard_points_to_mesh(
                 gen._mesh, flat_pts, flat_valid, pt_fids)
             rep = NamedSharding(gen._mesh, P())

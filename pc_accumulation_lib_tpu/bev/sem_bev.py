@@ -65,12 +65,14 @@ class SemBEVGenerator:
                  seed: Optional[int] = None, mesh=None,
                  fetch_dtype: str = 'float16',
                  sparse_cap: Optional[int] = None,
-                 mesh_impl: str = 'tile',
+                 mesh_impl: str = 'auto',
                  fetch_group: int = 4):
         """``mesh``: optional jax.sharding.Mesh with a 'points' axis — the
         raster then runs point-sharded across devices instead of
-        single-chip. ``mesh_impl`` picks the engine: 'tile' (default,
-        parallel/sharded.make_tile_sharded_raster_fn — cells stripe
+        single-chip. ``mesh_impl`` picks the engine: 'auto' (default —
+        'tile' when pixel_size^2 is divisible by the points-axis size,
+        else 'psum'), 'tile'
+        (parallel/sharded.make_tile_sharded_raster_fn — cells stripe
         across chips, points fly once to their cell's owner, per-stripe
         stats use the same sort+Pallas pipeline as single-chip) or
         'psum' (the readable combine-accumulators spec,
@@ -155,9 +157,17 @@ class SemBEVGenerator:
             int_scaler, int_sep_scaler, int_mid_threshold, rgb_fill)
         if mesh is not None:
             from pc_accumulation_lib_tpu.parallel import sharded
-            if mesh_impl not in ('tile', 'psum'):
-                raise ValueError(f'mesh_impl must be tile|psum, '
+            if mesh_impl not in ('auto', 'tile', 'psum'):
+                raise ValueError(f'mesh_impl must be auto|tile|psum, '
                                  f'got {mesh_impl!r}')
+            if mesh_impl == 'auto':
+                # Tile striping needs pixel_size^2 divisible by the
+                # points-axis size; fall back to the psum engine for
+                # meshes where it isn't (an explicit 'tile' still
+                # raises in make_tile_sharded_raster_fn).
+                ax = mesh.shape['points']
+                mesh_impl = 'tile' if (pixel_size ** 2) % ax == 0 \
+                    else 'psum'
             make = (sharded.make_tile_sharded_raster_fn
                     if mesh_impl == 'tile'
                     else sharded.make_sharded_raster_fn)

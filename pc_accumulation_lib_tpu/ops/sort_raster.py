@@ -146,10 +146,16 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
     {channel_split: (n_cells,)} flat maps ((3, n_cells) for rgb); the
     caller reshapes/assembles.
 
-    ``use_pallas``: the 1-key sort + segmented-stats kernel path (the
-    group count is padded up to the kernel's 512-group window; pad
-    groups are empty and sliced off — real sentinel rows land in pad
-    group ``sent`` and are dropped by the slice). Otherwise a pure-XLA
+    ``use_pallas``: the 1-key sort + segmented-stats kernel path. The
+    group count is padded up to the kernel's 512-group window and the
+    pad groups sliced off afterwards. Sentinel rows (key == ``sent``)
+    sort to the tail; when ``sent`` is already a multiple of 512 (all
+    bench-shaped configs) there are no pad groups and the sentinels are
+    excluded because window_boundaries' searchsorted never reaches the
+    key — when ``sent % 512 != 0`` they fall INSIDE the padded group
+    range, are accumulated into pad groups, and only then sliced off
+    (wasted DMA on small tile stripes; acceptable today, see
+    PERF_NOTES open frontiers). Otherwise a pure-XLA
     fallback unpacking the features from the words: z (f16 bits) rides
     as the secondary sort key so the segment-start read IS the min
     (exact — the shipped elevation channel is f16 anyway); intensity is

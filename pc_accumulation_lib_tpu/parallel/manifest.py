@@ -27,7 +27,12 @@ class CompletionManifest:
                     self._done[rec['unit']] = rec
 
     def is_done(self, unit: str) -> bool:
-        return unit in self._done
+        """True for units that completed WORK. Skip records (a run's
+        attribute/idx filters excluded the unit) do not count: filters
+        are per-run arguments, so a later run with different filters
+        must re-evaluate the unit rather than find it 'done' forever."""
+        rec = self._done.get(unit)
+        return rec is not None and not rec.get('skipped')
 
     def get(self, unit: str) -> Optional[dict]:
         """Completion record for ``unit`` (None if pending). Runners use
@@ -41,6 +46,15 @@ class CompletionManifest:
         os.makedirs(os.path.dirname(self.path) or '.', exist_ok=True)
         with open(self.path, 'a') as f:
             f.write(json.dumps(rec) + '\n')
+
+    def mark_skipped(self, unit: str, reason: str) -> None:
+        """Record, for observability only, that this run's filters
+        excluded ``unit``. The unit stays pending (see is_done); a
+        repeat skip with the same reason is not re-appended."""
+        prev = self._done.get(unit)
+        if prev is not None and prev.get('skipped') == reason:
+            return
+        self.mark_done(unit, bevs=0, skipped=reason)
 
     def pending(self, units: Iterable[str]) -> List[str]:
         return [u for u in units if not self.is_done(u)]

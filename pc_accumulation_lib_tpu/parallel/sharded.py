@@ -225,8 +225,8 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     n = mesh.shape[points_axis]
     n_cells = Px * Px
     if n_cells % n:
-        raise ValueError(f'pixel_size^2 ({n_cells}) must divide the '
-                         f'points-axis size ({n}) for cell striping')
+        raise ValueError(f'pixel_size^2 ({n_cells}) must be divisible by '
+                         f'the points-axis size ({n}) for cell striping')
     if pack == 'sparse' and sparse_cap is None:
         sparse_cap = bev_core.default_sparse_cap(Px)
     if use_pallas is None:

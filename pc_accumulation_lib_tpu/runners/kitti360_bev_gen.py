@@ -160,7 +160,12 @@ def run(kitti360_path: str, semseg_model=None, use_gt_sem: bool = False,
         bev_params, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed)
     dataloader = Kitti360Dataloader(kitti360_path, 1, sequences, start_idxs,
                                     end_idxs)
-    return sampling_loop(sem_pc_accum, dataloader, sampling, output)
+    stats = sampling_loop(sem_pc_accum, dataloader, sampling, output)
+    # Surface any deferred tile-raster overflow checks before reporting
+    # success (parallel/sharded.make_tile_sharded_raster_fn defers them).
+    if sem_pc_accum.sem_bev_generator is not None:
+        sem_pc_accum.sem_bev_generator.close()
+    return stats
 
 
 def run_sharded(kitti360_path: str, semseg_model=None,
@@ -235,6 +240,11 @@ def run_sharded(kitti360_path: str, semseg_model=None,
                               start_count=done_count + total_new)
         total_frames += stats['frames']
         total_new += stats['bevs']
+        # Surface any deferred tile-raster overflow checks (the last few
+        # rasters' counters) BEFORE recording the unit complete: a raised
+        # TileRouteOverflow must leave the unit pending for the resume.
+        if sem_pc_accum.sem_bev_generator is not None:
+            sem_pc_accum.sem_bev_generator.close()
         if manifest is not None:
             manifest.mark_done(unit, bevs=stats['bevs'])
     return {'frames': total_frames, 'bevs': total_new,

@@ -149,14 +149,13 @@ def run(nuscenes_path: str, semseg_model=None,
         if do_scene_idxs and scene_id not in do_scene_idxs:
             print(f'\tSkip scene id {scene_id} (not in idx list)')
             if manifest is not None:
-                manifest.mark_done(scene_str, bevs=0, skipped='idx_list')
+                manifest.mark_skipped(scene_str, 'idx_list')
             continue
         skip, hits = should_skip_scene(attrs, skip_attr)
         if skip:
             print(f'\tSkip scene id {scene_id} ({" ".join(hits)})')
             if manifest is not None:
-                manifest.mark_done(scene_str, bevs=0,
-                                   skipped=' '.join(hits))
+                manifest.mark_skipped(scene_str, ' '.join(hits))
             continue
 
         if use_oracle_pose:
@@ -207,6 +206,11 @@ def run(nuscenes_path: str, semseg_model=None,
                 bev_idx += 1
                 bev_count += 1
                 scene_bevs += 1
+        # Surface any deferred tile-raster overflow checks (the last few
+        # rasters' counters) BEFORE recording the unit complete: a raised
+        # TileRouteOverflow must leave the unit pending for the resume.
+        if sem_pc_accum.sem_bev_generator is not None:
+            sem_pc_accum.sem_bev_generator.close()
         if manifest is not None:
             manifest.mark_done(scene_str, bevs=scene_bevs)
     if writer is not None:

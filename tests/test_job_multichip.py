@@ -232,6 +232,73 @@ def test_nuscenes_runner_job_with_mesh_and_manifest(tmp_path):
                       'resumed_at': stats['bevs']}
 
 
+def test_unit_stays_pending_if_overflow_drain_raises(runs, tmp_path,
+                                                     monkeypatch):
+    """The runner must drain the tile raster's deferred overflow checks
+    BEFORE mark_done: a raised TileRouteOverflow leaves the unit pending
+    so a resume re-runs it instead of shipping silently-corrupt BEVs."""
+    from pc_accumulation_lib_tpu.bev.sem_bev import SemBEVGenerator
+    from pc_accumulation_lib_tpu.parallel.sharded import TileRouteOverflow
+
+    orig_close = SemBEVGenerator.close
+
+    def close_detects_overflow(self):
+        orig_close(self)
+        raise TileRouteOverflow('simulated deferred-counter overflow')
+
+    monkeypatch.setattr(SemBEVGenerator, 'close', close_detects_overflow)
+    out = str(tmp_path / 'overflow')
+    manifest_path = str(tmp_path / 'overflow_manifest.jsonl')
+    with pytest.raises(TileRouteOverflow):
+        _job(runs['dataset'], out, mesh=runs['mesh'],
+             manifest_path=manifest_path)
+    man = CompletionManifest(manifest_path)
+    assert not any(man.is_done(s) for s in SEQS)
+
+
+def test_nuscenes_skipped_scene_reprocessed_after_filter_change(tmp_path):
+    """A scene excluded by one run's do_scene_idxs/skip_attr filters is
+    recorded for observability but stays PENDING: a later run without the
+    filter must process it (a completion mark would exclude it forever)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fake_nusc import FakeNuScenes
+    from pc_accumulation_lib_tpu.models.semseg import SemSegTPU
+    from pc_accumulation_lib_tpu.runners import nuscenes_bev_gen
+
+    root = str(tmp_path / 'nusc')
+    nusc = FakeNuScenes(root, n_keyframes=6, sweeps_between=1, step=4.0,
+                        seed=1)
+    manifest_path = str(tmp_path / 'manifest.jsonl')
+    kw = dict(
+        semseg_model=SemSegTPU(seed=0, stage_sizes=(1, 1, 1, 1)),
+        use_oracle_pose=True, end_scene_idx=1,
+        bev_params={'type': 'sem', 'view_size': 40, 'pixel_size': 64,
+                    'max_trans_radius': 0., 'zoom_thresh': 0.,
+                    'do_warp': False, 'int_scaler': 1.,
+                    'int_sep_scaler': 30., 'int_mid_threshold': 0.12,
+                    'height_filter': None},
+        sampling=cfg.SamplingConfig(bev_horizon_dist=4.0,
+                                    bev_dist_between_samples=1.0,
+                                    bevs_per_sample=1),
+        output=cfg.OutputConfig(output_dir=str(tmp_path / 'bevs'),
+                                viz_to_disk=False, async_io=False),
+        accum_cfg=cfg.AccumConfig(max_points_per_frame=16384,
+                                  max_frames=32,
+                                  max_painted_points_per_frame=16384,
+                                  max_instances=64),
+        manifest_path=manifest_path, seed=0, nusc=nusc)
+    stats = nuscenes_bev_gen.run(root, do_scene_idxs=[999], **kw)
+    assert stats['bevs'] == 0
+    man = CompletionManifest(manifest_path)
+    assert man.get('0')['skipped'] == 'idx_list'
+    assert not man.is_done('0')
+
+    stats2 = nuscenes_bev_gen.run(root, **kw)
+    assert stats2['bevs'] >= 1 and stats2['units'] == ['0']
+    assert CompletionManifest(manifest_path).is_done('0')
+
+
 def test_job_two_shards_partition_the_units(runs, tmp_path):
     """num_shards=2 splits the unit list; the two shards' outputs land in
     disjoint shardNN/ subtrees, cover every unit exactly once, and each

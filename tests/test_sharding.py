@@ -143,6 +143,29 @@ def test_manifest_resume(tmp_path):
     assert m2.stats()['done'] == 2
 
 
+def test_manifest_skip_records_stay_pending(tmp_path):
+    """Filter skips are per-RUN arguments: a skip record documents the
+    decision but must not exclude the unit from later runs with
+    different filters (a mark_done would, silently and forever)."""
+    path = str(tmp_path / 'manifest.jsonl')
+    m = mf.CompletionManifest(path)
+    m.mark_skipped('scene1', 'night rain')
+    assert not m.is_done('scene1')
+    assert m.get('scene1')['skipped'] == 'night rain'
+    # Re-skipping with the same reason does not re-append a record.
+    m.mark_skipped('scene1', 'night rain')
+    with open(path) as f:
+        assert len(f.readlines()) == 1
+    # Reload from disk: still pending, so shard_units re-offers it.
+    m2 = mf.CompletionManifest(path)
+    assert not m2.is_done('scene1')
+    assert mf.shard_units(['scene0', 'scene1'], 0, 1, m2) == \
+        ['scene0', 'scene1']
+    # A later run that actually processes the unit completes it.
+    m2.mark_done('scene1', bevs=2)
+    assert m2.is_done('scene1')
+
+
 @pytest.mark.slow
 def test_multistream_weak_scaling(rng):
     """Weak-scaling bound for the scale-out story (README): 8 independent
