@@ -451,15 +451,19 @@ def main(classic: bool = False):
     up_mode = int(os.environ.get('BENCH_PREUPLOAD', '2'))
     pre_up = up_mode != 0
 
-    def timed_phase(lo, hi):
+    def timed_phase(lo, hi, bev_num=bevs_per_sample, depth=2,
+                    timer=timer):
         """One measured sweep over frames[lo:hi) through the pipelined
         step loop; returns (window stats, n_samples, seconds).
 
-        Queue depth 2 on ONE worker: finalizes run serially (they mutate
-        accumulator host state in step order), but the main thread stays
-        two steps ahead, so the device work queue never starves while a
-        finalize waits out a tunnel latency spike (each step's transfers
-        start at dispatch via copy_to_host_async regardless)."""
+        Queue ``depth`` on ONE worker: finalizes run serially (they
+        mutate accumulator host state in step order), but the main thread
+        stays ``depth`` steps ahead, so the device work queue never
+        starves while a finalize waits out a tunnel latency spike (each
+        step's transfers start at dispatch via copy_to_host_async
+        regardless). The upload submit-AFTER-dispatch ordering (up_mode
+        semantics above) lives only here — the bev_num=1 operating point
+        reuses this same loop with depth=1."""
         t0 = time.perf_counter()
         n_samples = 0
         futs = deque()
@@ -479,17 +483,17 @@ def main(classic: bool = False):
                     with timer.phase('dispatch rasters (classic)'):
                         handle = accum.generate_bev(
                             present_idx=len(accum.poses) - 2,
-                            bev_num=bevs_per_sample, gen_future=True,
+                            bev_num=bev_num, gen_future=True,
                             async_fetch=True)
                 else:
                     with timer.phase('dispatch step (integrate + rasters)'):
-                        handle = accum.step([dobs], bev_num=bevs_per_sample,
+                        handle = accum.step([dobs], bev_num=bev_num,
                                             gen_future=True,
                                             async_fetch=True)
                 if up_mode >= 2 and i + 1 < hi:
                     nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
                 futs.append(ex.submit(handle))
-                if len(futs) > 2:
+                if len(futs) > depth:
                     with timer.phase('harvest previous step'):
                         n_samples += len(futs.popleft().result())
                     checkpoints.append(
@@ -505,23 +509,25 @@ def main(classic: bool = False):
     # Repeat protocol: the headline is the MEDIAN of >=3 contiguous
     # step windows (weather-robust); min and the per-window rates ride
     # the tail JSON so a slow-link run is distinguishable from a code
-    # regression without any prose. If the phase hit a link stall (a
-    # window collapsed, or either link probe around it read <20 MB/s),
-    # ONE more phase runs on the spare frames and the headline takes the
-    # better phase's median — both phases and all probes are recorded in
-    # the tail, so nothing is hidden; the retry just keeps the artifact
-    # from recording the shared tunnel's worst minute as the framework's
-    # throughput.
+    # regression without any prose. If the phase hit a stall (a window
+    # collapsed, or either link probe around it read <20 MB/s), ONE more
+    # phase runs on the spare frames — but the better phase's median may
+    # replace the headline ONLY when a link probe actually read bad:
+    # external evidence the slowdown was tunnel weather. A window
+    # collapse with healthy probes is exactly what an intermittent
+    # code-side regression looks like, so it stays in the headline
+    # (the retry phase is still recorded in the tail for comparison).
     t_bench0 = time.perf_counter()
     win, n_samples, dt = timed_phase(warmup_frames, n_frames)
     cur = n_frames
     link_after = _measure_link()
     phases = [{'n_samples': n_samples, 'dt': round(dt, 3), **(win or {}),
                'link_after': link_after}]
+    link_bad = (min(link['link_up_MBps'], link['link_down_MBps']) < 20
+                or min(link_after['link_up_MBps'],
+                       link_after['link_down_MBps']) < 20)
     stalled = (win is None or win['min'] < 0.6 * win['median']
-               or min(link['link_up_MBps'], link['link_down_MBps']) < 20
-               or min(link_after['link_up_MBps'],
-                      link_after['link_down_MBps']) < 20)
+               or link_bad)
     if stalled and retry_frames and time.perf_counter() - t_bench0 < 600:
         print('link stall detected; running one retry phase',
               file=sys.stderr)
@@ -529,7 +535,8 @@ def main(classic: bool = False):
         cur += retry_frames
         phases.append({'n_samples': n2, 'dt': round(dt2, 3),
                        **(win2 or {}), 'link_after': _measure_link()})
-        if win2 and (win is None or win2['median'] > win['median']):
+        if win2 and (win is None
+                     or (link_bad and win2['median'] > win['median'])):
             win, n_samples, dt = win2, n2, dt2
     samples_per_sec = win['median'] if win else n_samples / dt
 
@@ -538,32 +545,16 @@ def main(classic: bool = False):
     # (semseg + ICP + paint). Reported on stderr; the driver metric stays
     # the bevs_per_sample default below.
     if not classic:
-        # Three-way pipeline: the upload worker keeps frame i+1's payload
-        # in flight under frame i's step; the fetch worker drains frame
-        # i-1's stacks. The main thread only dispatches — at bev_num=1 the
-        # steady state is bounded by max(upload wire, compute, fetch), not
-        # their sum.
-        t1 = time.perf_counter()
-        n1 = 0
-        fut = None
-        with ThreadPoolExecutor(max_workers=1) as ex, \
-                ThreadPoolExecutor(max_workers=1) as upx:
-            if pre_up:
-                nxt_up = upx.submit(accum.upload_obs, frames[cur])
-            for i in range(cur, cur + bev1_frames):
-                dobs = nxt_up.result() if pre_up else frames[i]
-                if up_mode == 1 and i + 1 < cur + bev1_frames:
-                    nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
-                handle = accum.step([dobs], bev_num=1, gen_future=True,
-                                    async_fetch=True)
-                if up_mode >= 2 and i + 1 < cur + bev1_frames:
-                    nxt_up = upx.submit(accum.upload_obs, frames[i + 1])
-                nxt = ex.submit(handle)
-                if fut is not None:
-                    n1 += len(fut.result())
-                fut = nxt
-            n1 += len(fut.result())
-        dt1 = time.perf_counter() - t1
+        # Three-way pipeline (same timed_phase loop, queue depth 1): the
+        # upload worker keeps frame i+1's payload in flight under frame
+        # i's step; the fetch worker drains frame i-1's stacks. The main
+        # thread only dispatches — at bev_num=1 the steady state is
+        # bounded by max(upload wire, compute, fetch), not their sum.
+        # A separate timer keeps these steps out of the steady-state
+        # phase breakdown printed below.
+        _, n1, dt1 = timed_phase(cur, cur + bev1_frames, bev_num=1,
+                                 depth=1, timer=PhaseTimer())
+        cur += bev1_frames
         print(json.dumps({
             'metric': 'e2e_bev1_samples_per_sec_per_chip',
             'value': round(n1 / dt1, 3), 'unit': 'samples/s (bev_num=1)',
