@@ -198,8 +198,12 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
          ``dest_cap_factor * M_local / n`` rows (all_to_all needs equal
          blocks); the overflow COUNT is psum'd and checked host-side a
          few calls behind — a raster that dropped rows raises
-         TileRouteOverflow (call ``fn.drain()`` to force all pending
-         checks, e.g. at job end).
+         TileRouteOverflow with the dest_cap_factor actually needed
+         (call ``fn.drain()`` to force all pending checks, e.g. at job
+         end). ``fn.route_peak_rows``/``fn.route_cap`` expose the
+         observed busiest-stripe row count vs capacity so the factor
+         can be tuned from data (the capacity gather is the dominant
+         tile routing cost — PERF_NOTES).
       3. Each shard runs the single-chip sort + segmented-stats pipeline
          on its stripe (ops/sort_raster.split_stats_from_words_flat:
          Pallas kernel on TPU, pure-XLA fallback elsewhere) — medians
@@ -292,6 +296,15 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         b_w2 = jnp.where(ok, sw2[idxc], 0)
         over = jnp.maximum(ends - starts - cap, 0).sum().astype(jnp.int32)
         over = jax.lax.psum(over, points_axis)
+        # Routing-skew telemetry: the busiest destination stripe's row
+        # count (across all shards), vs the capacity. Rides home with the
+        # overflow counter so dest_cap_factor can be sized from observed
+        # skew instead of guessed (PERF_NOTES open frontiers: the
+        # capacity gather is the dominant tile routing cost).
+        peak = jax.lax.pmax(jnp.max(ends - starts).astype(jnp.int32),
+                            points_axis)
+        route_stats = jnp.stack(
+            [over, peak, jnp.full((), cap, jnp.int32)])
         r_c2 = jax.lax.all_to_all(b_c2, points_axis, 0, 0, tiled=True)
         r_w1 = jax.lax.all_to_all(b_w1, points_axis, 0, 0, tiled=True)
         r_w2 = jax.lax.all_to_all(b_w2, points_axis, 0, 0, tiled=True)
@@ -330,10 +343,10 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         dense = bev_core.finalize_dense(maps, len(meta), int_scaler,
                                         int_sep_scaler, int_mid_threshold)
         if pack != 'sparse':
-            return dense, over
+            return dense, route_stats
         sp, dn = bev_core.sparse_outputs(
             dense, jnp.stack(counts), Px, sparse_cap, len(meta))
-        return (sp, dn), over
+        return (sp, dn), route_stats
 
     pt_spec = P(points_axis)
     rep = P()
@@ -371,16 +384,20 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         # time — each eager mesh submission is a control round (on the
         # remote tunnel 16/step measured 40-120 ms of main-thread time),
         # and the scan output IS the stacked group the sparse fetch
-        # ships. Overflow counters sum across the group.
+        # ships. Overflow counters sum across the group; the peak-rows
+        # and capacity telemetry components take the group max.
         def group_f(points, valid, fids, inst_dyn, pose_vec, aug9s):
-            def step(over_acc, aug9):
+            def step(acc, aug9):
                 packed = jnp.concatenate([pose_vec, aug9])
-                out, over = tile_body(points, valid, fids, inst_dyn,
-                                      packed, gen_future)
-                return over_acc + over, out
-            over_tot, outs = jax.lax.scan(
-                step, jnp.zeros((), jnp.int32), aug9s)
-            return outs, over_tot
+                out, st = tile_body(points, valid, fids, inst_dyn,
+                                    packed, gen_future)
+                acc = jnp.stack([acc[0] + st[0],
+                                 jnp.maximum(acc[1], st[1]),
+                                 jnp.maximum(acc[2], st[2])])
+                return acc, out
+            stats_tot, outs = jax.lax.scan(
+                step, jnp.zeros((3,), jnp.int32), aug9s)
+            return outs, stats_tot
 
         out_spec = (((rep, rep) if pack == 'sparse' else rep), rep)
         return jax.shard_map(group_f, mesh=mesh,
@@ -394,37 +411,42 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     import collections
     pending = collections.deque()
 
-    def _check(over_dev):
+    def _check(stats_dev):
         import numpy as np
-        v = int(np.asarray(over_dev))
-        if v > 0:
+        v = np.asarray(stats_dev)
+        dropped, peak, cap = int(v[0]), int(v[1]), int(v[2])
+        raster.route_peak_rows = max(raster.route_peak_rows, peak)
+        raster.route_cap = cap
+        if dropped > 0:
+            need = dest_cap_factor * peak / max(cap, 1)
             raise TileRouteOverflow(
-                f'tile-sharded raster dropped {v} rows: a destination '
-                f'stripe exceeded its all-to-all capacity '
-                f'(dest_cap_factor={dest_cap_factor}); raise it')
+                f'tile-sharded raster dropped {dropped} rows: the busiest '
+                f'destination stripe held {peak} rows vs all-to-all '
+                f'capacity {cap} (dest_cap_factor={dest_cap_factor}); '
+                f'set dest_cap_factor >= {need:.2f}')
 
     def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
         if isinstance(params, bev_core.RasterParams):
-            out, over = fns[bool(gen_future)](
+            out, stats = fns[bool(gen_future)](
                 points, valid, pt_frame_ids, inst_dyn,
                 jnp.asarray(params.pack()))
         elif isinstance(params, tuple):
             pose_vec, aug9 = params
-            out, over = tfns[bool(gen_future)](
+            out, stats = tfns[bool(gen_future)](
                 points, valid, pt_frame_ids, inst_dyn, pose_vec,
                 jnp.asarray(aug9, jnp.float32))
         else:
-            out, over = fns[bool(gen_future)](
+            out, stats = fns[bool(gen_future)](
                 points, valid, pt_frame_ids, inst_dyn, jnp.asarray(params))
         try:
-            over.copy_to_host_async()
+            stats.copy_to_host_async()
         except Exception:
             pass
         # Deferred loud overflow: checking eagerly would sync every
         # dispatch; the deque drains a few calls behind (the values have
         # long arrived), same delayed-raise philosophy as the painted-cap
         # guard (accum/kitti360.py fetch()).
-        pending.append(over)
+        pending.append(stats)
         while len(pending) > 3:
             _check(pending.popleft())
         return out
@@ -438,20 +460,26 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         """Fetch-group dispatch: (pose_vec, (G,9) aug draws) -> outputs
         stacked along a leading G axis (sparse: ((G, nb), (G, ndn)));
         one device submission for the whole group."""
-        out, over = gfns[bool(gen_future)](
+        out, stats = gfns[bool(gen_future)](
             points, valid, pt_frame_ids, inst_dyn, pose_vec,
             jnp.asarray(aug9s, jnp.float32))
         try:
-            over.copy_to_host_async()
+            stats.copy_to_host_async()
         except Exception:
             pass
-        pending.append(over)
+        pending.append(stats)
         while len(pending) > 3:
             _check(pending.popleft())
         return out
 
     raster.drain = drain
     raster.group = raster_group
+    # Routing-skew telemetry (updated as deferred checks drain): the
+    # busiest destination stripe's observed row count and the capacity it
+    # rode against — size dest_cap_factor from peak/(cap/factor) instead
+    # of guessing.
+    raster.route_peak_rows = 0
+    raster.route_cap = None
     return raster
 
 

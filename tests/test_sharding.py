@@ -434,6 +434,10 @@ def test_tile_sharded_raster_matches_single_device(rng):
         np.asarray(tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params,
                            True)), True)
     tile_fn.drain()   # no overflow at the default capacity factor
+    # Routing-skew telemetry drained home with the overflow counters:
+    # the busiest stripe fits its capacity, and the observed skew is the
+    # number dest_cap_factor should be sized from.
+    assert 0 < tile_fn.route_peak_rows <= tile_fn.route_cap
 
     assert set(maps_single) == set(maps_tile)
     for k in maps_single:
@@ -505,8 +509,11 @@ def test_tile_sharded_overflow_raises(rng):
                                               jnp.asarray(valid),
                                               jnp.asarray(fids))
     _ = tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32), params, True)
-    with pytest.raises(sharded.TileRouteOverflow):
+    with pytest.raises(sharded.TileRouteOverflow,
+                       match=r'set dest_cap_factor >= \d'):
         tile_fn.drain()
+    # The error's suggested factor comes from the observed peak stripe.
+    assert tile_fn.route_peak_rows > tile_fn.route_cap
 
 
 def test_tile_sharded_group_matches_per_sample(rng):
