@@ -143,6 +143,46 @@ def test_manifest_resume(tmp_path):
     assert m2.stats()['done'] == 2
 
 
+def test_mesh_impl_auto_falls_back_to_psum(rng):
+    """mesh_impl='auto' (the default) must serve meshes the tile engine
+    can't: P^2=1024 is not divisible by a 6-device points axis, so auto
+    picks the psum engine and the raster still matches single-chip;
+    an explicit 'tile' on the same mesh raises with the divisibility."""
+    from pc_accumulation_lib_tpu.bev.sem_bev import SemBEVGenerator
+
+    mesh6 = mesh_mod.make_mesh((1, 6), devices=jax.devices()[:6])
+    assert (P * P) % mesh6.shape['points'] != 0
+    gen = SemBEVGenerator(SEM_IDXS, 40.0, P, int_scaler=20.,
+                          int_sep_scaler=20., int_mid_threshold=0.5,
+                          mesh=mesh6)
+    # The tile engine exposes drain(); the psum fallback does not.
+    assert not hasattr(gen._raster, 'drain')
+
+    pts, valid, fids = make_points(rng)
+    m6 = (M // 6) * 6   # shard_map needs M divisible by the axis
+    params = core.identity_params(window=(0, 9), present_frame=5)
+    single = core.make_raster_fn(40.0, P, SEM_IDXS, 20., 20., 0.5)
+    want = core.unpack_maps(
+        np.asarray(single(jnp.asarray(pts[:m6]), jnp.asarray(valid[:m6]),
+                          jnp.asarray(fids[:m6]), jnp.zeros(4, jnp.float32),
+                          params.pack(), True)), True)
+    sp, sv, sf = sharded.shard_points_to_mesh(
+        mesh6, jnp.asarray(pts[:m6]), jnp.asarray(valid[:m6]),
+        jnp.asarray(fids[:m6]))
+    got = core.unpack_maps(
+        np.asarray(gen._raster(sp, sv, sf, jnp.zeros(4, jnp.float32),
+                               params, True)), True)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k], np.float32),
+                                   np.asarray(want[k], np.float32),
+                                   atol=1e-3, err_msg=k)
+
+    with pytest.raises(ValueError, match='divisible'):
+        SemBEVGenerator(SEM_IDXS, 40.0, P, int_scaler=20.,
+                        int_sep_scaler=20., int_mid_threshold=0.5,
+                        mesh=mesh6, mesh_impl='tile')
+
+
 def test_manifest_skip_records_stay_pending(tmp_path):
     """Filter skips are per-RUN arguments: a skip record documents the
     decision but must not exclude the unit from later runs with
