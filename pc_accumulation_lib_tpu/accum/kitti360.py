@@ -18,6 +18,7 @@ import numpy as np
 from pc_accumulation_lib_tpu import config as cfg
 from pc_accumulation_lib_tpu.accum import buffer
 from pc_accumulation_lib_tpu.accum.base import SemanticPointCloudAccumulator
+from pc_accumulation_lib_tpu.ops import geometry
 from pc_accumulation_lib_tpu.ops import icp as icp_ops
 
 
@@ -157,9 +158,10 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         The reference's per-frame path crosses the host/device boundary
         once per stage (ONNX session, Open3D calls, numpy transforms);
         fusing matters doubly here because each dispatch-with-fetch costs
-        ~33 ms over the remote-TPU tunnel. Returns a packed (34,) array
-        [T_world_velo(16), T_new_prev(16), n_painted, icp_n_corr] so the
-        host needs exactly ONE fetch per frame.
+        ~33 ms over the remote-TPU tunnel. Returns a packed (37,) array
+        [T_world_velo(16), T_new_prev(16), n_painted, icp_n_corr,
+        window_start, path_len, ring_overflow] so the host needs exactly
+        ONE fetch per frame (fetch() consumes indices 32-36).
         """
         cap = self.accum_cfg.painted_cap
         filters = self.semseg_filters
@@ -200,7 +202,8 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 T_new_prev, _, n_corr = self._icp_reg(
                     prev_cloud, new_cloud, init, max_corr)
             T_world = jnp.matmul(
-                T_world_prev, jnp.linalg.inv(T_new_prev.astype(jnp.float32)),
+                T_world_prev,
+                geometry.rigid_inverse(T_new_prev.astype(jnp.float32)),
                 precision=jax.lax.Precision.HIGHEST)
             painted, valid_out = painted_fn(T_world)
             painted, valid_out, n_valid = buffer.compact_rows(
@@ -270,7 +273,17 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             # 12.5% fewer upload bytes). Inverse: dequant() in the fused
             # integrate.
             xyz = np.zeros((n_cap, 3), np.int16)
-            xyz[:n] = np.clip(np.round(pc[:, :3] * 200.0), -32768, 32767)
+            xyz_scaled = np.round(pc[:, :3] * 200.0)
+            if n and (xyz_scaled.min() < -32768 or xyz_scaled.max() > 32767):
+                # i16 covers +-163.84 m at the 5 mm scale (KITTI lidar
+                # tops out well under 120 m in the sensor frame). Points
+                # beyond that must fail loudly, not silently clamp to the
+                # boundary — use transfer_dtype='float32' for such data.
+                raise ValueError(
+                    f'quantized upload: coordinate range '
+                    f'[{pc[:, :3].min():.4g}, {pc[:, :3].max():.4g}] m '
+                    f'outside the i16-representable +-163.84 m')
+            xyz[:n] = xyz_scaled
             inten = np.zeros(n_cap, np.uint8)
             scaled = np.round(pc[:n, 3] * 200.0)
             if n and (scaled.min() < 0 or scaled.max() > 255):
@@ -404,7 +417,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             n_painted = int(vec[32])
             if n_painted > self.accum_cfg.painted_cap:
                 raise RuntimeError(
-                    f'Painted-point overflow: frame produced {n_painted} >= '
+                    f'Painted-point overflow: frame produced {n_painted} > '
                     f'cap {self.accum_cfg.painted_cap}; raise '
                     'AccumConfig.max_painted_points_per_frame (points must '
                     'not be silently dropped).')

@@ -17,6 +17,7 @@ import numpy as np
 from pc_accumulation_lib_tpu import config as cfg
 from pc_accumulation_lib_tpu.accum import buffer
 from pc_accumulation_lib_tpu.accum.base import SemanticPointCloudAccumulator
+from pc_accumulation_lib_tpu.ops import geometry
 from pc_accumulation_lib_tpu.ops import icp as icp_ops
 
 
@@ -72,7 +73,7 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                     prev_cloud, new_cloud, jnp.eye(4, dtype=jnp.float32),
                     max_corr)
             T_world = jnp.matmul(
-                T_world_prev, jnp.linalg.inv(T_new_prev),
+                T_world_prev, geometry.rigid_inverse(T_new_prev),
                 precision=jax.lax.Precision.HIGHEST)
             if imgs.dtype == jnp.uint8:  # quantized transfer
                 imgs = imgs.astype(jnp.float32)

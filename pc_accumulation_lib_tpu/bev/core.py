@@ -570,6 +570,15 @@ def decode_sparse_stack(raw, gen_future, pixel_size, cap, empty_vals):
     caps = list(resolve_sparse_caps(cap)[:S])
     n_masks = 2 if S == 3 else S
     n_mask = P * P // 8
+    hdr = sparse_header_bytes(P, gen_future)
+    if raw.shape[0] < hdr:
+        # Below even the fixed header: malformed, same contract as the
+        # native decoder (bev/native_decode.decode_sparse_warp) — the
+        # adaptive fetch never ships less than the header, and callers
+        # defend with a pre-check refetch (sem_bev._fetch_stack). A clear
+        # error beats the raw reshape failure this used to produce.
+        raise ValueError(f'malformed sparse buffer: {raw.shape[0]} B < '
+                         f'{hdr} B fixed header')
     masks = raw[:n_masks * n_mask].reshape(n_masks, n_mask)
     n_occ = read_sparse_noccs(raw, P, gen_future)
     for s in range(S):

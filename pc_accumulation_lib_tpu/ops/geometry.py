@@ -34,6 +34,20 @@ def rotation_matrix_z(ang):
     ])
 
 
+def rigid_inverse(T):
+    """Exact inverse of a rigid (4,4) transform: (R^T, -R^T t), matmul at
+    precision=HIGHEST. A general ``jnp.linalg.inv`` runs its LU solve at
+    the TPU's default (truncating, ~bf16) matmul precision — on a pose
+    CHAIN composed every frame that error accumulates into world-pose
+    drift vs the host-f64 trajectory overlays (CLAUDE.md precision
+    gotcha), while the rigid form is both exact and cheaper."""
+    R, t = T[:3, :3], T[:3, 3]
+    out = jnp.zeros((4, 4), T.dtype)
+    out = out.at[:3, :3].set(R.T)
+    out = out.at[:3, 3].set(-jnp.matmul(R.T, t, precision=_HIGHEST))
+    return out.at[3, 3].set(1.0)
+
+
 def homo_transform(T, points):
     """Apply a (4,4) homogeneous transform to (N,3) points -> (N,3).
 

@@ -88,7 +88,7 @@ def _median_ranks(cum, lens):
 
 
 def _kernel(win_start_ref, win_len_ref, keys_hbm, wts_hbm, sum_ref, min_ref,
-            *rest, n_pad, med_rows=(), med_nsplit=0, CHUNK=CHUNK, WIN=WIN):
+            *rest, med_rows=(), med_nsplit=0, CHUNK=CHUNK, WIN=WIN):
     if med_rows:
         (med_ref, hist_ref, key_buf, wt_buf, key_sem, wt_sem) = rest
     else:
@@ -274,9 +274,10 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
     """
     CHUNK_ = CHUNK if chunk is None else chunk
     WIN_ = WIN if win is None else win
-    assert num_groups % WIN_ == 0
+    if num_groups % WIN_:   # not assert: must survive python -O
+        raise ValueError(f'num_groups ({num_groups}) must be a multiple '
+                         f'of the kernel window ({WIN_})')
     num_windows = num_groups // WIN_
-    n_pad = sorted_keys.shape[1]
     n_med = len(med_rows)
     out_specs = [
         pl.BlockSpec((1, W_PAD, WIN_), lambda w, *_: (w, 0, 0),
@@ -314,7 +315,7 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
         scratch_shapes=scratch_shapes,
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, n_pad=n_pad, med_rows=med_rows,
+        functools.partial(_kernel, med_rows=med_rows,
                           med_nsplit=med_nsplit, CHUNK=CHUNK_, WIN=WIN_),
         out_shape=out_shape,
         grid_spec=grid_spec,
@@ -355,7 +356,12 @@ def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
     """
     n = sorted_keys_1d.shape[0]
     chunk_ = CHUNK if chunk is None else chunk
-    n_pad = ((n + chunk_ - 1) // chunk_ + 2) * chunk_
+    # Slack past n must cover the kernel's aligned-down over-fetch: the
+    # last chunk's DMA reads chunk_ + ALIGN bytes starting at most one
+    # chunk before its window end (<= n). 2*chunk_ alone is short when
+    # chunk_ < ALIGN (identical to it at the default chunk).
+    slack = max(2 * chunk_, chunk_ + ALIGN)
+    n_pad = ((n + slack + chunk_ - 1) // chunk_) * chunk_
     pad = n_pad - n
     keys = jnp.pad(sorted_keys_1d.astype(jnp.int32), (0, pad),
                    constant_values=num_groups)[None, :]
@@ -365,8 +371,11 @@ def segmented_stats(sorted_keys_1d, weight_rows, z_sorted, num_groups,
     # (rows 4-5 of the OUTPUT carry the scan-min and boundary count, see
     # window_stats) — a 5th weight row would be silently replaced by the
     # min accumulation, not summed.
-    assert len(rows) <= 4, f'at most 4 summed weight rows, got {len(rows)}'
-    assert len(rows) + len(vals) <= W_PAD - 1
+    if len(rows) > 4:   # not assert: must survive python -O
+        raise ValueError(f'at most 4 summed weight rows, got {len(rows)}')
+    if len(rows) + len(vals) > W_PAD - 1:
+        raise ValueError(f'{len(rows)} weight + {len(vals)} value rows '
+                         f'exceed the {W_PAD - 1} payload rows')
     wt = jnp.zeros((W_PAD, n_pad), jnp.float32)
     for i, r in enumerate(rows):
         wt = wt.at[i, :n].set(r.astype(jnp.float32))

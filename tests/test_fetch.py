@@ -268,10 +268,13 @@ def test_native_decode_overflow_short_and_malformed(rng):
         native_decode.decode_sparse_warp(short, True, P, caps, empty, None)
     with pytest.raises(core.SparseShortFetch):
         core.decode_sparse_stack(short, True, P, caps, empty)
-    # Shorter than its own header: malformed.
+    # Shorter than its own header: malformed — both decoders, with a
+    # real message (not a raw numpy reshape error from the python path).
     with pytest.raises(ValueError):
         native_decode.decode_sparse_warp(raw[:100], True, P, caps, empty,
                                          None)
+    with pytest.raises(ValueError, match='fixed header'):
+        core.decode_sparse_stack(raw[:100], True, P, caps, empty)
     # Mask popcount disagreeing with the header n_occ: malformed (the
     # decode indexes value rows by mask rank, so trusting the smaller
     # header count would read past the buffer on an adaptive fetch).

@@ -50,6 +50,21 @@ def test_homo_transform_matches_matmul(rng):
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
+def test_rigid_inverse_matches_f64_inverse(rng):
+    """geo.rigid_inverse is the exact (R^T, -R^T t) form used on the
+    per-frame pose chain instead of jnp.linalg.inv (whose LU runs at the
+    TPU's truncating default matmul precision — CLAUDE.md gotcha)."""
+    ang = 0.53
+    T = np.eye(4)
+    T[:3, :3] = np.array([[np.cos(ang), -np.sin(ang), 0],
+                          [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    T[:3, 3] = [102.5, -37.25, 1.75]   # ~100 m travelled world pose
+    got = np.asarray(geo.rigid_inverse(jnp.asarray(T, jnp.float32)),
+                     np.float64)
+    np.testing.assert_allclose(got, np.linalg.inv(T), atol=1e-4)
+    np.testing.assert_allclose(got @ T, np.eye(4), atol=1e-4)
+
+
 def test_project_to_image_matches_oracle(rng, proj_matrix):
     pc = rng.normal(size=(500, 3)) * 20.0
     u_o, v_o, m_o = np_velo2img_oracle(pc, proj_matrix, 376, 1408)
