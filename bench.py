@@ -147,7 +147,13 @@ def bench_nuscenes_oracle():
                         # Occupied cells only over the tunnel; capacity
                         # overflow falls back to a quantized dense fetch.
                         fetch_dtype='sparse'),
-        loc='synth', accum_cfg=accum_cfg, seed=0)
+        loc='synth', accum_cfg=accum_cfg, seed=0,
+        # The oracle mode's wall is the upload: 6 cameras (~6.5 MB/frame
+        # u8 — YUV 4:2:0 halves it; NuScenes JPEGs are 4:2:0 at the
+        # source) + the padded f32 point rows (~1.75 MB — the 13 B/point
+        # pack cuts 2.15x). BENCH_IMG_TRANSFER/BENCH_PC_TRANSFER A/B.
+        img_transfer=os.environ.get('BENCH_IMG_TRANSFER', 'yuv420'),
+        transfer_dtype=os.environ.get('BENCH_PC_TRANSFER', 'quantized'))
     frames = [stream.frame(i) for i in range(n_frames)]
     for i in range(4):
         accum.integrate([frames[i]])
@@ -196,7 +202,10 @@ def bench_nuscenes_oracle():
           f'(adaptive hint {gen._fetch_hint_bytes} B)', file=sys.stderr)
     print(json.dumps({'metric': 'bench_protocol',
                       'overall': round(n_samples / dt, 3),
-                      **(win or {}), **link}), file=sys.stderr)
+                      **(win or {}), **link,
+                      'wire': {'img': accum.img_transfer,
+                               'pc': accum.transfer_dtype}}),
+          file=sys.stderr)
     value = win['median'] if win else n_samples / dt
     print(json.dumps({
         'metric': 'nuscenes_oracle_bev_samples_per_sec_per_chip',
@@ -395,7 +404,11 @@ def main(classic: bool = False):
     accum = Kitti360SemanticPointCloudAccumulator(
         40.0, calib, 1e3, model, cfg.DEFAULT_SEMSEG_FILTERS,
         cfg.DEFAULT_SEM_IDXS, False, bev_params, accum_cfg=accum_cfg,
-        icp_cfg=icp_cfg, seed=0, transfer_dtype='quantized')
+        icp_cfg=icp_cfg, seed=0, transfer_dtype='quantized',
+        # YUV 4:2:0 camera upload (ops/imgcodec.py): the 376x1408 image is
+        # ~65% of the 2.44 MB/frame upload; 4:2:0 halves its wire bytes.
+        # BENCH_IMG_TRANSFER=rgb8 for the lossless-wire A/B.
+        img_transfer=os.environ.get('BENCH_IMG_TRANSFER', 'yuv420'))
 
     frames = [stream.frame(i)
               for i in range(n_frames + retry_frames + bev1_frames)]
@@ -565,7 +578,9 @@ def main(classic: bool = False):
     print(f'total {dt:.3f}s for {n_samples} samples', file=sys.stderr)
     print(json.dumps({'metric': 'bench_protocol',
                       'overall': round(n_samples / dt, 3),
-                      **(win or {}), **link, 'phases': phases}),
+                      **(win or {}), **link, 'phases': phases,
+                      'wire': {'img': accum.img_transfer,
+                               'pc': accum.transfer_dtype}}),
           file=sys.stderr)
     gen = accum.sem_bev_generator
     mean_occ = [s // max(gen.n_occupied_obs, 1)

@@ -104,7 +104,8 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                  accum_cfg: Optional[cfg.AccumConfig] = None,
                  icp_cfg: Optional[cfg.ICPConfig] = None,
                  seed: Optional[int] = None,
-                 transfer_dtype: str = 'float32'):
+                 transfer_dtype: str = 'float32',
+                 img_transfer: Optional[str] = None):
         """Args mirror the reference constructor
         (kitti360_sem_pc_accum.py:9-39); ``semseg_model`` is any callable
         rgb(H,W,3)->class-map(H,W) (e.g. models.semseg.SemSegTPU) instead of
@@ -114,7 +115,13 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         7 B/point (xyz as 5 mm fixed-point int16, intensity as uint8 at
         the same x200 scale — identical quantized values, one byte less)
         and images as uint8 (~2.9x fewer host->device bytes than float32;
-        matters on remote-TPU links), dequantized on device."""
+        matters on remote-TPU links), dequantized on device.
+
+        ``img_transfer='yuv420'`` additionally ships the camera image as
+        YUV 4:2:0 (1.5 B/px vs u8 RGB's 3 — the image is ~65% of the
+        per-frame upload), decoded to RGB on device before semseg+paint;
+        lossy by chroma quantization only (ops/imgcodec.py; grayscale is
+        bit-exact). Default follows transfer_dtype: 'rgb8'."""
         super().__init__(horizon_dist, icp_threshold, semseg_model,
                          semseg_filters, sem_idxs, use_gt_sem, bev_params,
                          accum_cfg, seed)
@@ -149,6 +156,9 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._pose_vec_dev = None    # (22,) pose-dependent raster params
         self.max_live_rows = 0       # compact_window telemetry (step())
         self.transfer_dtype = transfer_dtype
+        if img_transfer not in (None, 'rgb8', 'yuv420'):
+            raise ValueError(f'img_transfer={img_transfer!r}')
+        self.img_transfer = img_transfer or 'rgb8'
         self._fused = self._build_fused_step()
 
     def _build_fused_step(self):
@@ -230,7 +240,10 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                         ws, variables, pc_pad, valid, rgb_img, frame_id,
                         first):
             pc_pad = dequant(pc_pad)
-            if rgb_img.dtype == jnp.uint8:  # quantized transfer
+            if isinstance(rgb_img, tuple):  # yuv420 wire encoding
+                from pc_accumulation_lib_tpu.ops import imgcodec
+                rgb_img = imgcodec.decode_yuv420(*rgb_img)
+            elif rgb_img.dtype == jnp.uint8:  # quantized transfer
                 rgb_img = rgb_img.astype(jnp.float32)
 
             def painted_fn(T_world):
@@ -305,6 +318,10 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
 
     def _prep_rgb(self, rgb):
         arr = np.asarray(rgb)[..., :3]
+        if self.img_transfer == 'yuv420':
+            from pc_accumulation_lib_tpu.ops import imgcodec
+            y, uv = imgcodec.encode_yuv420(arr.astype(np.uint8))
+            return (jnp.asarray(y), jnp.asarray(uv))
         if self.transfer_dtype == 'quantized':
             return jnp.asarray(arr.astype(np.uint8))
         return jnp.asarray(arr.astype(np.float32))

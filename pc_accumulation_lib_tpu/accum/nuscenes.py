@@ -33,9 +33,13 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                  loc: Optional[str] = None,
                  accum_cfg: Optional[cfg.AccumConfig] = None,
                  icp_cfg: Optional[cfg.ICPConfig] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 img_transfer: str = 'rgb8'):
         if use_gt_sem:
             raise NotImplementedError()
+        if img_transfer not in ('rgb8', 'yuv420'):
+            raise ValueError(f'img_transfer={img_transfer!r}')
+        self.img_transfer = img_transfer
         super().__init__(horizon_dist, icp_threshold, semseg_model,
                          semseg_filters, sem_idxs, use_gt_sem, bev_params,
                          accum_cfg, seed)
@@ -75,7 +79,10 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             T_world = jnp.matmul(
                 T_world_prev, geometry.rigid_inverse(T_new_prev),
                 precision=jax.lax.Precision.HIGHEST)
-            if imgs.dtype == jnp.uint8:  # quantized transfer
+            if isinstance(imgs, tuple):  # yuv420 wire encoding
+                from pc_accumulation_lib_tpu.ops import imgcodec
+                imgs = imgcodec.decode_yuv420(*imgs)
+            elif imgs.dtype == jnp.uint8:  # quantized transfer
                 imgs = imgs.astype(jnp.float32)
             logits = model.model.apply(variables, imgs, train=False)
             semsegs = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -121,6 +128,12 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         valid = np.arange(n_pad) < pc.shape[0]
         imgs = np.stack([np.asarray(im)[..., :3].astype(np.uint8)
                          for im in obs['images']])
+        if self.img_transfer == 'yuv420':
+            from pc_accumulation_lib_tpu.ops import imgcodec
+            y, uv = imgcodec.encode_yuv420(imgs)
+            dev_imgs = (jnp.asarray(y), jnp.asarray(uv))
+        else:
+            dev_imgs = jnp.asarray(imgs)
         first = self._icp_prev_cloud is None
         prev = self._icp_prev_cloud
         if first:
@@ -132,7 +145,7 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             self.state, prev, jnp.asarray(self._T_world_velo_last,
                                           jnp.float32),
             self.semseg_model.variables, jnp.asarray(pc_p),
-            jnp.asarray(valid), jnp.asarray(ci_p), jnp.asarray(imgs),
+            jnp.asarray(valid), jnp.asarray(ci_p), dev_imgs,
             jnp.int32(self.frame_count), first)
         self._icp_prev_cloud = new_cloud
         packed = np.asarray(packed, np.float64)

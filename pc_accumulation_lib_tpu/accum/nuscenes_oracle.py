@@ -53,10 +53,25 @@ class NuScenesOracleSemanticPointCloudAccumulator(
                  get_gt_lanes: bool = False, dataroot: Optional[str] = None,
                  accum_cfg: Optional[cfg.AccumConfig] = None,
                  gt_lane_poses: Optional[list] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 img_transfer: str = 'rgb8',
+                 transfer_dtype: str = 'float32'):
         """Args mirror the reference constructor (reference :15-102);
         ``gt_lane_poses`` may be injected directly (tests) instead of
-        loading via the devkit map expansion."""
+        loading via the devkit map expansion.
+
+        ``img_transfer``: camera wire encoding — 'rgb8' (u8, already 4x
+        fewer bytes than the reference's float32 GPU tensors) or 'yuv420'
+        (1.5 B/px, halves the oracle mode's dominant 6-camera upload;
+        NuScenes JPEGs are 4:2:0 at the source — see ops/imgcodec.py).
+
+        ``transfer_dtype``: point wire encoding — 'float32' or 'quantized'
+        (13 B/point vs 28; xyz at 5 mm fixed point, see accum/pointpack.py
+        for the full envelope and loud range checks)."""
+        if img_transfer not in ('rgb8', 'yuv420'):
+            raise ValueError(f'img_transfer={img_transfer!r}')
+        if transfer_dtype not in ('float32', 'quantized'):
+            raise ValueError(f'transfer_dtype={transfer_dtype!r}')
         if use_gt_sem:
             raise NotImplementedError()
         super().__init__(horizon_dist=np.inf, icp_threshold=np.inf,
@@ -77,16 +92,25 @@ class NuScenesOracleSemanticPointCloudAccumulator(
             from pc_accumulation_lib_tpu.dataloaders.lanemap import (
                 get_centerlines)
             self.gt_lane_poses = get_centerlines(dataroot, loc)
+        self.img_transfer = img_transfer
+        self.transfer_dtype = transfer_dtype
         self._fused = self._build_fused_step()
 
     def _build_fused_step(self):
         filters = self.semseg_filters
         model = self.semseg_model
         cap = self.accum_cfg.painted_cap
+        n_pad = self.accum_cfg.max_points_per_frame
 
         def step(state, variables, pc_pad, valid, cam_idx, imgs,
                  T_world_ego, inst_remap, dyn_updates, frame_id):
-            if imgs.dtype == jnp.uint8:  # quantized transfer
+            if pc_pad.dtype == jnp.uint8:  # quantized 13 B/point transfer
+                from pc_accumulation_lib_tpu.accum import pointpack
+                pc_pad = pointpack.unpack_points7(pc_pad, n_pad)
+            if isinstance(imgs, tuple):  # yuv420 wire encoding
+                from pc_accumulation_lib_tpu.ops import imgcodec
+                imgs = imgcodec.decode_yuv420(*imgs)
+            elif imgs.dtype == jnp.uint8:  # quantized transfer
                 imgs = imgs.astype(jnp.float32)
             logits = model.model.apply(variables, imgs, train=False)
             semsegs = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -128,17 +152,28 @@ class NuScenesOracleSemanticPointCloudAccumulator(
             raise RuntimeError(
                 f'Frame has {pc.shape[0]} points > max_points_per_frame='
                 f'{n_pad}.')
-        pc_p = np.zeros((n_pad, pc.shape[1]), np.float32)
-        pc_p[:pc.shape[0]] = pc
+        if self.transfer_dtype == 'quantized':
+            from pc_accumulation_lib_tpu.accum import pointpack
+            pc_p = pointpack.pack_points7_np(pc, n_pad)
+        else:
+            pc_p = np.zeros((n_pad, pc.shape[1]), np.float32)
+            pc_p[:pc.shape[0]] = pc
         ci_p = -np.ones(n_pad, np.int32)
         ci_p[:pc.shape[0]] = pc_cam_idx
         valid = np.arange(n_pad) < pc.shape[0]
-        # uint8 image upload (4x fewer bytes host->device; cast on device).
+        # uint8 image upload (4x fewer bytes host->device; cast on device);
+        # 'yuv420' halves that again (see ops/imgcodec.py).
         imgs = np.stack([np.asarray(im)[..., :3].astype(np.uint8)
                          for im in obs['images']])
+        if self.img_transfer == 'yuv420':
+            from pc_accumulation_lib_tpu.ops import imgcodec
+            y, uv = imgcodec.encode_yuv420(imgs)
+            dev_imgs = (jnp.asarray(y), jnp.asarray(uv))
+        else:
+            dev_imgs = jnp.asarray(imgs)
         return OracleDeviceObs(obs, pc, jnp.asarray(pc_p),
                                jnp.asarray(valid), jnp.asarray(ci_p),
-                               jnp.asarray(imgs))
+                               dev_imgs)
 
     def _integrate_one(self, obs):
         dev = self.upload_obs(obs)

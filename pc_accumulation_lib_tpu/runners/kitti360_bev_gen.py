@@ -140,7 +140,9 @@ def run(kitti360_path: str, semseg_model=None, use_gt_sem: bool = False,
         output: Optional[cfg.OutputConfig] = None,
         accum_cfg: Optional[cfg.AccumConfig] = None,
         icp_cfg: Optional[cfg.ICPConfig] = None,
-        seed: Optional[int] = None) -> dict:
+        seed: Optional[int] = None,
+        img_transfer: Optional[str] = None,
+        pc_transfer: str = 'float32') -> dict:
     sequences = list(sequences or cfg.KITTI360_SEQUENCES)
     start_idxs = list(start_idxs or cfg.KITTI360_START_IDXS)
     end_idxs = list(end_idxs or cfg.KITTI360_END_IDXS)
@@ -157,7 +159,8 @@ def run(kitti360_path: str, semseg_model=None, use_gt_sem: bool = False,
     sem_pc_accum = Kitti360SemanticPointCloudAccumulator(
         accum_horizon_dist, calib_params, icp_threshold, semseg_model,
         cfg.DEFAULT_SEMSEG_FILTERS, cfg.DEFAULT_SEM_IDXS, use_gt_sem,
-        bev_params, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed)
+        bev_params, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed,
+        img_transfer=img_transfer, transfer_dtype=pc_transfer)
     dataloader = Kitti360Dataloader(kitti360_path, 1, sequences, start_idxs,
                                     end_idxs)
     stats = sampling_loop(sem_pc_accum, dataloader, sampling, output)
@@ -179,7 +182,9 @@ def run_sharded(kitti360_path: str, semseg_model=None,
                 icp_cfg: Optional[cfg.ICPConfig] = None,
                 seed: Optional[int] = None,
                 manifest_path: Optional[str] = None, shard_idx: int = 0,
-                num_shards: int = 1, on_bev=None) -> dict:
+                num_shards: int = 1, on_bev=None,
+                img_transfer: Optional[str] = None,
+                pc_transfer: str = 'float32') -> dict:
     """Scene-sharded, manifest-resumable dataset job.
 
     Each sequence is an independent work unit processed with a FRESH
@@ -233,7 +238,8 @@ def run_sharded(kitti360_path: str, semseg_model=None,
         sem_pc_accum = Kitti360SemanticPointCloudAccumulator(
             accum_horizon_dist, calib_params, icp_threshold, semseg_model,
             cfg.DEFAULT_SEMSEG_FILTERS, cfg.DEFAULT_SEM_IDXS, use_gt_sem,
-            bev_params, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed)
+            bev_params, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed,
+            img_transfer=img_transfer, transfer_dtype=pc_transfer)
         dataloader = Kitti360Dataloader(kitti360_path, 1, [unit], [s], [e])
         stats = sampling_loop(sem_pc_accum, dataloader, sampling, output,
                               on_bev=on_bev,
@@ -273,6 +279,15 @@ def main(argv=None):
     parser.add_argument('--height_filter', type=float, default=None)
     parser.add_argument('--icp_threshold', type=float, default=1e3)
     parser.add_argument('--no_viz', action='store_true')
+    # Camera-image wire encoding for remote-TPU links (ops/imgcodec.py):
+    # 'yuv420' halves the image upload bytes (lossy by chroma quantization
+    # only; grayscale exact).
+    parser.add_argument('--img_transfer', type=str, default='rgb8',
+                        choices=('rgb8', 'yuv420'))
+    # Point wire encoding: packed 7 B/point upload (5 mm fixed point;
+    # accum/kitti360.py _pad_pc) vs float32 rows.
+    parser.add_argument('--pc_transfer', type=str, default='float32',
+                        choices=('float32', 'quantized'))
     # Scene-sharded resumable job (run_sharded): per-sequence work units,
     # JSONL completion manifest, strided shard of the unit list.
     parser.add_argument('--manifest', type=str, default=None)
@@ -317,7 +332,9 @@ def main(argv=None):
                                     args.bev_dist_between_samples,
                                     args.bevs_per_sample),
         output=cfg.OutputConfig(args.bev_output_dir,
-                                viz_to_disk=not args.no_viz), **extra)
+                                viz_to_disk=not args.no_viz),
+        img_transfer=args.img_transfer, pc_transfer=args.pc_transfer,
+        **extra)
     print(stats)
 
 

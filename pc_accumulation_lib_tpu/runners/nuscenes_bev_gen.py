@@ -86,7 +86,8 @@ def run(nuscenes_path: str, semseg_model=None,
         icp_cfg: Optional[cfg.ICPConfig] = None,
         manifest_path: Optional[str] = None, shard_idx: int = 0,
         num_shards: int = 1, seed: Optional[int] = None,
-        nusc=None) -> dict:
+        nusc=None, img_transfer: str = 'rgb8',
+        pc_transfer: str = 'float32') -> dict:
     """``nusc`` injects a pre-built devkit object (anything with the
     get/get_boxes/get_sample_data_path/box_velocity/scene surface, e.g. a
     test double) — when None the real nuscenes-devkit loads the dataroot
@@ -162,12 +163,17 @@ def run(nuscenes_path: str, semseg_model=None,
             sem_pc_accum = NuScenesOracleSemanticPointCloudAccumulator(
                 semseg_model, NUSCENES_FILTERS, cfg.DEFAULT_SEM_IDXS, False,
                 bev_params, loc, get_gt_lanes, nuscenes_path,
-                accum_cfg=accum_cfg, seed=seed)
+                accum_cfg=accum_cfg, seed=seed, img_transfer=img_transfer,
+                transfer_dtype=pc_transfer)
         else:
+            if pc_transfer != 'float32':
+                raise NotImplementedError(
+                    'pc_transfer=quantized is oracle-path only for now')
             sem_pc_accum = NuScenesSemanticPointCloudAccumulator(
                 accum_horizon_dist, icp_threshold, semseg_model,
                 NUSCENES_FILTERS, cfg.DEFAULT_SEM_IDXS, False, bev_params,
-                loc, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed)
+                loc, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed,
+                img_transfer=img_transfer)
 
         dataloader = NuScenesDataloader(nusc, [scene_id], 1, num_sweeps)
         # Phase 1: integrate the whole scene (reference :236-237).
@@ -254,6 +260,14 @@ def main(argv=None):
     parser.add_argument('--manifest', type=str, default=None)
     parser.add_argument('--shard_idx', type=int, default=0)
     parser.add_argument('--num_shards', type=int, default=1)
+    # Camera wire encoding ('yuv420' halves the 6-camera upload bytes;
+    # NuScenes JPEGs are 4:2:0 at the source — ops/imgcodec.py).
+    parser.add_argument('--img_transfer', type=str, default='rgb8',
+                        choices=('rgb8', 'yuv420'))
+    # Point wire encoding (oracle path): 13 B/point pack vs f32 rows
+    # (accum/pointpack.py).
+    parser.add_argument('--pc_transfer', type=str, default='float32',
+                        choices=('float32', 'quantized'))
     args = parser.parse_args(argv)
 
     from pc_accumulation_lib_tpu.models.semseg import load_semseg_model
@@ -279,7 +293,8 @@ def main(argv=None):
                            args.bevs_per_sample),
         cfg.OutputConfig(args.bev_output_dir),
         manifest_path=args.manifest, shard_idx=args.shard_idx,
-        num_shards=args.num_shards)
+        num_shards=args.num_shards, img_transfer=args.img_transfer,
+        pc_transfer=args.pc_transfer)
     print(stats)
 
 
