@@ -409,6 +409,12 @@ def main(classic: bool = False):
         # ~65% of the 2.44 MB/frame upload; 4:2:0 halves its wire bytes.
         # BENCH_IMG_TRANSFER=rgb8 for the lossless-wire A/B.
         img_transfer=os.environ.get('BENCH_IMG_TRANSFER', 'yuv420'))
+    # Sparse-fetch sizing policy A/B (bev/sem_bev.py): 'exact' sizes each
+    # group's value copy from the per-sample occupancy block copied at
+    # dispatch; 'hint' is the legacy trailing step-max estimator
+    # (~36% wire overshoot measured).
+    accum.sem_bev_generator.fetch_sizing = os.environ.get(
+        'BENCH_FETCH_SIZING', 'exact')
 
     frames = [stream.frame(i)
               for i in range(n_frames + retry_frames + bev1_frames)]
@@ -481,6 +487,15 @@ def main(classic: bool = False):
         n_samples = 0
         futs = deque()
         checkpoints = [(0.0, 0)]   # (elapsed, cum samples) per harvest
+        _gen = accum.sem_bev_generator
+
+        def _drain(fut):
+            r = fut.result()
+            h = _gen.last_harvest
+            if h and h.get('wire_bytes'):
+                wire_stats[0] += h['wire_bytes']
+                wire_stats[1] += 1
+            return r
         with ThreadPoolExecutor(max_workers=1) as ex, \
                 ThreadPoolExecutor(max_workers=1) as upx:
             if pre_up:
@@ -508,12 +523,12 @@ def main(classic: bool = False):
                 futs.append(ex.submit(handle))
                 if len(futs) > depth:
                     with timer.phase('harvest previous step'):
-                        n_samples += len(futs.popleft().result())
+                        n_samples += len(_drain(futs.popleft()))
                     checkpoints.append(
                         (time.perf_counter() - t0, n_samples))
             while futs:
                 with timer.phase('harvest previous step'):
-                    n_samples += len(futs.popleft().result())
+                    n_samples += len(_drain(futs.popleft()))
                 checkpoints.append((time.perf_counter() - t0, n_samples))
         jax.effects_barrier()
         dt = time.perf_counter() - t0
@@ -531,6 +546,7 @@ def main(classic: bool = False):
     # code-side regression looks like, so it stays in the headline
     # (the retry phase is still recorded in the tail for comparison).
     t_bench0 = time.perf_counter()
+    wire_stats = [0, 0]   # [sparse value-wire bytes, steps] (exact mode)
     win, n_samples, dt = timed_phase(warmup_frames, n_frames)
     cur = n_frames
     link_after = _measure_link()
@@ -580,7 +596,12 @@ def main(classic: bool = False):
                       'overall': round(n_samples / dt, 3),
                       **(win or {}), **link, 'phases': phases,
                       'wire': {'img': accum.img_transfer,
-                               'pc': accum.transfer_dtype}}),
+                               'pc': accum.transfer_dtype,
+                               'fetch_sizing':
+                                   accum.sem_bev_generator.fetch_sizing,
+                               'fetch_MB_per_step':
+                                   round(wire_stats[0] / 1e6
+                                         / max(wire_stats[1], 1), 3)}}),
           file=sys.stderr)
     gen = accum.sem_bev_generator
     mean_occ = [s // max(gen.n_occupied_obs, 1)

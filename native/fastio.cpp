@@ -9,6 +9,9 @@
 //
 // Build: g++ -O2 -shared -fPIC -o libfastio.so fastio.cpp -lz -lpthread
 
+#include <sys/resource.h>
+#include <sys/syscall.h>
+#include <unistd.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -75,6 +78,14 @@ class WriterPool {
 
  private:
   void worker() {
+    // Compression is throughput work with no consumer waiting on it
+    // step-to-step (wait_all drains at job end); the decode/dispatch
+    // threads ARE latency-critical and share one core on the bench
+    // host. nice(19) this thread so gzip never preempts them (Linux
+    // per-thread nice via setpriority on the kernel tid; best-effort).
+#ifdef __linux__
+    setpriority(PRIO_PROCESS, static_cast<id_t>(syscall(SYS_gettid)), 19);
+#endif
     for (;;) {
       Job job;
       {

@@ -499,6 +499,11 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                                          gen_future=gen_future)
 
             return finalize_classic if async_fetch else finalize_classic()
+        # Exact-size the PREVIOUS step's sparse fetches first: the device
+        # queue is empty right now, so their value slices run (and the
+        # copies start) ahead of everything this step enqueues
+        # (bev/sem_bev.resolve_ready_fetches; non-blocking).
+        gen.resolve_ready_fetches()
         handles = [self._dispatch_obs(obs) for obs in observations]
         pose_vec = self._pose_vec_dev
         ccap = self.accum_cfg.compact_cap

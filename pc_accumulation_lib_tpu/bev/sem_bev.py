@@ -141,13 +141,38 @@ class SemBEVGenerator:
         # own header.
         self.sparse_short_fetches = 0
         self._fetch_hint_bytes = {}        # {S: bytes}
+        # Grouped-fetch sizing policy (generate_samples_device):
+        #   'exact' — at dispatch one jitted splitter per group
+        #     materializes the 4*S-byte per-sample occupancy block plus a
+        #     FIXED ladder of prefix buffers (~16 KiB spacing,
+        #     _fetch_rungs); the occupancy block AND the rung the hint
+        #     predicts sufficient are copied immediately (dispatch-time
+        #     overlap — deferring the value copy measured 8-33% slower).
+        #     The resolve (next dispatch entry, or the finalize) verifies
+        #     coverage against the exact used bytes; a hint miss tops up
+        #     with the next rung — a queue-independent DMA of a
+        #     dispatch-materialized buffer instead of the legacy
+        #     cap-sized row refetch (_get_rung_fn has the measured
+        #     failure modes that shaped this).
+        #   'hint' — the value copy is issued at dispatch, truncated by
+        #     the trailing step-max estimator below (legacy; a miss
+        #     refetches the sample's full cap-sized buffer).
+        # Lossless either way; bench A/B via BENCH_FETCH_SIZING.
+        self.fetch_sizing = 'exact'
+        # Fetch sets dispatched but not yet exact-sized — drained by
+        # resolve_ready_fetches() at the next dispatch or by their own
+        # finalize (both are pure DMAs of dispatch-materialized rungs).
+        self._pending_fetches = []
+        self._rung_fns = {}          # {(shape, S, rungs): jitted splitter}
         self._step_used_max = {}           # {S: bytes}
         self._step_used_n = {}             # {S: samples this step}
         self._prev_step_used_max = {}      # {S: bytes}
         self._harvest_pool = None          # lazy persistent decode pool
         self._pool_finalizer = None        # weakref shutdown for the pool
         # Last finalize's harvest split: per-group transfer waits vs total
-        # decode/assemble CPU seconds (tools/profile_harvest.py).
+        # decode/assemble CPU seconds (tools/profile_harvest.py), plus the
+        # sparse value-buffer bytes actually put on the wire (exact mode
+        # telemetry; None until a grouped finalize runs).
         self.last_harvest = None
         # Decodes run on a small thread pool (generate_samples_device);
         # unlocked read-modify-write would drop counter updates.
@@ -384,6 +409,10 @@ class SemBEVGenerator:
         size (None -> the generator's ``fetch_group`` attribute)."""
         if fetch_group is None:
             fetch_group = self.fetch_group
+        # Exact-size any fetch set from a PREVIOUS call whose occupancy
+        # blocks have landed: its value slices enqueue ahead of this
+        # call's rasters (see _resolve_fetch_groups on queue position).
+        self.resolve_ready_fetches()
         # Mesh note: the point-sharded raster accepts the same
         # (pose_vec, aug9) device tuple (parallel/sharded.py), so this
         # zero-host-sync path works multi-chip too. The tile engine also
@@ -514,6 +543,13 @@ class SemBEVGenerator:
                               n_samples, gen_future, trajs_fn):
         """Deferred harvest closure for generate_samples_device: grouped
         transfer waits + threaded decode/assemble + hint update."""
+        import threading
+        holder = {'groups': groups, 'gen_future': gen_future,
+                  'resolved': None, 'wire': 0, 'lock': threading.Lock()}
+        if any(isinstance(g, tuple) and len(g) == 6 and g[0] == 'exact'
+               for g in groups):
+            self._pending_fetches.append(holder)
+
         def finalize() -> List[Dict]:
             trajs = trajs_fn()
             # Decode + host-warp + assemble (~5 ms numpy each, GIL mostly
@@ -535,6 +571,18 @@ class SemBEVGenerator:
                 return r
 
             t_wall = _time.perf_counter()
+            # 'exact' fetch sizing: the value copies were normally issued
+            # already by the NEXT dispatch's resolve_ready_fetches (ideal
+            # device-queue position); this blocking resolve is the
+            # first-step/unpipelined fallback and a no-op re-read
+            # otherwise. No-op for legacy hint-mode groups.
+            t_res = _time.perf_counter()
+            resolved, wire_bytes = self._resolve_fetch_groups(holder)
+            resolve_wait = _time.perf_counter() - t_res
+            try:   # don't pin this step's device buffers past the harvest
+                self._pending_fetches.remove(holder)
+            except ValueError:
+                pass
             # PERSISTENT 2-thread pool (lazy): a fresh executor per step
             # would retire its threads each time, abandoning the native
             # decoder's thread_local work tables (~MBs each at P>=256,
@@ -558,8 +606,8 @@ class SemBEVGenerator:
             futs = []
             for g0 in range(0, n_samples, fetch_group):
                 t0 = _time.perf_counter()
-                raws = (np.asarray(groups[g0 // fetch_group])
-                        if groups else None)
+                raws = (np.asarray(resolved[g0 // fetch_group])
+                        if resolved else None)
                 waits.append(_time.perf_counter() - t0)
                 for j in range(g0, min(g0 + fetch_group, n_samples)):
                     raw = None if raws is None else raws[j - g0]
@@ -571,7 +619,10 @@ class SemBEVGenerator:
             with self._telemetry_lock:
                 self.last_harvest = dict(
                     waits=waits, work_s=work_s[0],
-                    wall_s=_time.perf_counter() - t_wall)
+                    wall_s=_time.perf_counter() - t_wall,
+                    wire_bytes=wire_bytes,
+                    resolve_wait_s=resolve_wait,
+                    resolved_by=holder.get('resolved_by'))
             return res
 
         return finalize
@@ -616,9 +667,40 @@ class SemBEVGenerator:
         count's adaptive byte hint when one is known — the value sections
         are packed by actual occupancy, so everything past the hint is
         cap padding. Returns the device array the finalize should
-        np.asarray."""
+        np.asarray — or, under ``fetch_sizing='exact'`` for a stacked
+        group, an ('exact', group, hdr, rung_prefixes, rung_sizes)
+        entry: the occupancy block and a small ladder of prefix buffers
+        are materialized NOW (one jitted splitter per group,
+        _get_rung_fn), and the finalize picks + copies the smallest
+        sufficient rung once ``hdr`` has landed (_resolve_fetch_groups)."""
         if self.fetch_dtype == 'sparse':
-            k = self._fetch_hint_bytes.get(3 if gen_future else 1)
+            S = 3 if gen_future else 1
+            if self.fetch_sizing == 'exact' and arr.ndim >= 2:
+                rungs = self._fetch_rungs(S, int(arr.shape[-1]))
+                fn = self._get_rung_fn(arr.shape, S, rungs)
+                out = fn(arr)
+                hdr, vals = out[0], out[1:]
+                # Pre-issue the rung the hint predicts sufficient: the
+                # copy overlaps THIS step's own compute (measured A/B:
+                # deferring all value copies to resolve time lost ~8%
+                # e2e and ~33% at bev_num=1 on a 53 MB/s link — overlap
+                # beats the byte saving on healthy links). The resolve
+                # only verifies coverage against the exact counts and
+                # tops up with the next rung when the hint was short.
+                hint = self._fetch_hint_bytes.get(S)
+                pre = len(rungs) - 1
+                if hint is not None:
+                    for i, r in enumerate(rungs):
+                        if r >= hint:
+                            pre = i
+                            break
+                try:
+                    hdr.copy_to_host_async()
+                    vals[pre].copy_to_host_async()
+                except Exception:
+                    pass
+                return ('exact', arr, hdr, vals, rungs, pre)
+            k = self._fetch_hint_bytes.get(S)
             if k is not None and k < arr.shape[-1]:
                 arr = arr[..., :k]
         try:
@@ -626,6 +708,137 @@ class SemBEVGenerator:
         except Exception:   # e.g. committed multi-device (mesh) outputs
             pass
         return arr
+
+    def _fetch_rungs(self, S, cap_bytes):
+        """FIXED ladder of prefix lengths for one stacked group's
+        exact-sized fetch: every ``spacing`` bytes from the first rung
+        that can cover a header up to the full buffer. Fixed — not
+        adapted from usage — on purpose: the splitter jit is keyed by
+        the rung tuple, and adaptive rungs drifting across buckets
+        recompiled it mid-run (~0.4 s per new shape through the tunnel,
+        measured as 380-420 ms dispatch spikes). ~24 rungs cap the
+        ladder's HBM materialization at ~12x the buffer (µs of device
+        copies); the fetch overshoot is at most one spacing (~4% at the
+        bench's ~200 KB used)."""
+        spacing = max(16384, -(-cap_bytes // (24 * 16384)) * 16384)
+        hdr_b = core.sparse_header_bytes(self.pixel_size, S == 3)
+        first = max(spacing, -(-hdr_b // spacing) * spacing)
+        rungs = list(range(first, cap_bytes, spacing))
+        if not rungs or rungs[-1] != cap_bytes:
+            rungs.append(cap_bytes)
+        return tuple(rungs)
+
+    def _get_rung_fn(self, shape, S, rungs):
+        """Jitted (cached per shape/rungs) splitter: one device program,
+        enqueued AT DISPATCH right behind its group's raster, that
+        materializes the per-sample occupancy block plus each rung-sized
+        prefix of the packed buffer as separate buffers. The finalize can
+        then fetch the chosen rung as a PURE copy with no device program
+        — a program issued at finalize time would queue behind the next
+        step's already-dispatched compute and serialize transfer against
+        compute (measured: 42.8 samples/s on a 67 MB/s link, group-0
+        waits 170-347 ms, plus 0.2-1 s tunnel compiles for every new
+        slice shape)."""
+        key = (tuple(shape), S, rungs)
+        fn = self._rung_fns.get(key)
+        if fn is None:
+            import jax
+            off = (core.sparse_header_bytes(self.pixel_size, S == 3)
+                   - 16)
+
+            def split(a):
+                return ((a[..., off:off + 4 * S],)
+                        + tuple(a[..., :r] for r in rungs))
+
+            fn = jax.jit(split)
+            self._rung_fns[key] = fn
+        return fn
+
+    def _resolve_fetch_groups(self, holder):
+        """Turn a pending fetch-set's _start_fetch results into
+        fetch-ready device arrays. For 'exact' entries: read the
+        per-sample occupancy blocks (copied at dispatch) and verify the
+        pre-issued rung covers the group's exact used bytes; on a hint
+        miss, top up with the smallest covering rung (full buffer as the
+        last resort) — the rungs were materialized at dispatch
+        (_get_rung_fn), so every copy here is a queue-independent DMA
+        that overlaps whatever compute is in flight. Idempotent via the
+        holder (a finalize racing resolve_ready_fetches takes
+        holder['lock'])."""
+        with holder['lock']:
+            if holder['resolved'] is not None:
+                return holder['resolved'], holder['wire']
+            gen_future = holder['gen_future']
+            hdr_b = core.sparse_header_bytes(self.pixel_size, gen_future)
+            S = 3 if gen_future else 1
+            resolved, wire = [], 0
+            for g in holder['groups']:
+                if not (isinstance(g, tuple) and len(g) == 6
+                        and g[0] == 'exact'):
+                    resolved.append(g)
+                    if hasattr(g, 'shape'):
+                        wire += int(np.prod(g.shape))
+                    continue
+                _, grp, hdr, vals, rungs, pre = g
+                noccs = np.ascontiguousarray(
+                    np.asarray(hdr)).view(np.int32)
+                used = hdr_b + 8 * int(noccs.reshape(grp.shape[0], -1)
+                                       .sum(axis=1).max())
+                # The pre-issued rung's bytes are on the wire either
+                # way; count them, and top up only when it was short.
+                wire += int(grp.shape[0]) * rungs[pre]
+                if rungs[pre] >= used:
+                    resolved.append(vals[pre])
+                else:
+                    val, k = grp, int(grp.shape[-1])
+                    for v, r in zip(vals, rungs):
+                        if r >= used:
+                            val, k = v, r
+                            break
+                    try:
+                        val.copy_to_host_async()
+                    except Exception:
+                        pass
+                    resolved.append(val)
+                    wire += int(grp.shape[0]) * k
+                    with self._telemetry_lock:
+                        # Cheap recovery (a rung DMA, not the old
+                        # cap-sized refetch) but still a hint miss —
+                        # keep the counter honest.
+                        self.sparse_short_fetches += 1
+            holder['resolved'], holder['wire'] = resolved, wire
+            holder.setdefault('resolved_by', 'finalize')
+            return resolved, wire
+
+    def resolve_ready_fetches(self):
+        """Resolve every pending exact-sizing fetch set whose occupancy
+        blocks have already landed (non-blocking). Callers that pipeline
+        dispatch-ahead (accum.step, and generate_samples_device itself)
+        invoke this at dispatch entry so the value slices enqueue while
+        the device queue is empty — see _resolve_fetch_groups on why the
+        queue position matters. Cheap no-op when nothing is pending."""
+        if not self._pending_fetches:
+            return
+        # Snapshot: a concurrently-running finalize (worker thread) may
+        # .remove() entries; adds only ever happen on this thread.
+        for holder in list(self._pending_fetches):
+            if holder['resolved'] is not None:
+                continue
+            ready = True
+            for g in holder['groups']:
+                if (isinstance(g, tuple) and len(g) == 6
+                        and g[0] == 'exact'):
+                    try:
+                        if not g[2].is_ready():
+                            ready = False
+                            break
+                    except Exception:
+                        pass
+            if ready:
+                holder.setdefault('resolved_by', 'dispatch')
+                self._resolve_fetch_groups(holder)
+        self._pending_fetches = [h for h in list(self._pending_fetches)
+                                 if h['resolved'] is None]
 
     def _fetch_stack(self, out, gen_future, w=None, raw=None) -> np.ndarray:
         """Fetch + decode one raster output to a (C,P,P) float16 numpy

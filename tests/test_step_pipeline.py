@@ -421,6 +421,49 @@ def test_step_grouped_scan_dispatch_sparse():
     assert gen.sparse_overflows == 0, 'grouped path fell back to dense'
 
 
+def test_exact_fetch_sizing_matches_hint_and_recovers_shorts_cheaply():
+    """fetch_sizing='exact' (the default) materializes a fixed ladder of
+    prefix rungs at dispatch, pre-issues the rung the hint predicts
+    sufficient (keeping the hint path's dispatch-time transfer overlap),
+    and verifies coverage against the exact per-sample occupancy block;
+    a hint miss tops up with the next rung — a pure DMA — instead of the
+    legacy cap-sized row refetch (bev/sem_bev.py _resolve_fetch_groups).
+    Pin: bit-identical outputs to the legacy hint mode across a
+    horizon-crossing drive (including steps where the hint misses), wire
+    telemetry recorded, and steady-state wire within one rung top-up of
+    the hint mode's."""
+    frames = _frames()
+
+    def make(sizing):
+        a = _make_accum(seed=13, fetch_dtype='sparse', sparse_cap=3072)
+        g = a.sem_bev_generator
+        g.use_prepped_raster = True
+        g._prep_interpret = True
+        g.fetch_sizing = sizing
+        a.integrate([frames[0]])
+        return a
+
+    a_ex, a_hi = make('exact'), make('hint')
+    wire = {'exact': [], 'hint': []}
+    for i in range(1, 6):
+        be = a_ex.step([frames[i]], bev_num=4, gen_future=True)
+        bh = a_hi.step([frames[i]], bev_num=4, gen_future=True)
+        wire['exact'].append(
+            a_ex.sem_bev_generator.last_harvest['wire_bytes'])
+        wire['hint'].append(
+            a_hi.sem_bev_generator.last_harvest['wire_bytes'])
+        for se, sh in zip(be, bh):
+            for k in se:
+                np.testing.assert_array_equal(
+                    np.asarray(se[k]), np.asarray(sh[k]),
+                    err_msg=f'exact != hint: {k}')
+    assert all(w > 0 for w in wire['exact'])
+    # Both modes share the hint estimator, so their steady-state wire
+    # differs only by the top-up DMAs of this step's hint misses — a
+    # 2x bound catches gross regressions (e.g. shipping every rung).
+    assert wire['exact'][-1] <= 2 * wire['hint'][-1]
+
+
 def test_quantized_transfer_decode_exact_and_equivalent():
     """transfer_dtype='quantized' (the bench upload encoding, packed
     7 B/point: 5 mm i16 xyz + u8 intensity at the same x200 scale) must

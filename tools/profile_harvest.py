@@ -87,6 +87,9 @@ def main():
                       f'{wait*1e3:6.1f} | finalize wall {h["wall_s"]*1e3:6.1f}'
                       f' | group waits {[round(w*1e3,1) for w in h["waits"]]}'
                       f' | work {h["work_s"]*1e3:6.1f} ms'
+                      f' | resolve {h.get("resolved_by")} '
+                      f'{h.get("resolve_wait_s", 0)*1e3:5.1f} ms'
+                      f' | wire {h.get("wire_bytes", 0)/1e6:.2f} MB'
                       f' | step CPU {(cpu_now-cpu_prev)*1e3:6.1f}'
                       f' / wall {(wall_now-wall_prev)*1e3:6.1f} ms')
                 cpu_prev, wall_prev = cpu_now, wall_now
