@@ -770,7 +770,6 @@ class SemBEVGenerator:
                 return holder['resolved'], holder['wire']
             gen_future = holder['gen_future']
             hdr_b = core.sparse_header_bytes(self.pixel_size, gen_future)
-            S = 3 if gen_future else 1
             resolved, wire = [], 0
             for g in holder['groups']:
                 if not (isinstance(g, tuple) and len(g) == 6
