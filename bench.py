@@ -473,7 +473,10 @@ def main(classic: bool = False):
     def timed_phase(lo, hi, bev_num=bevs_per_sample, depth=2,
                     timer=timer):
         """One measured sweep over frames[lo:hi) through the pipelined
-        step loop; returns (window stats, n_samples, seconds).
+        step loop; returns (window stats, n_samples, seconds, wire) where
+        wire is THIS phase's [fetch value-wire bytes, steps, upload bytes,
+        frames] — per-phase so the headline's fetch_MB_per_step and the
+        bev1 upload floor aren't averaged across heterogeneous phases.
 
         Queue ``depth`` on ONE worker: finalizes run serially (they
         mutate accumulator host state in step order), but the main thread
@@ -488,13 +491,15 @@ def main(classic: bool = False):
         futs = deque()
         checkpoints = [(0.0, 0)]   # (elapsed, cum samples) per harvest
         _gen = accum.sem_bev_generator
+        wire = [0, 0, 0, 0]   # [fetch bytes, steps, upload bytes, frames]
+        up0 = (accum.upload_bytes_total, accum.upload_frames)
 
         def _drain(fut):
             r = fut.result()
             h = _gen.last_harvest
             if h and h.get('wire_bytes'):
-                wire_stats[0] += h['wire_bytes']
-                wire_stats[1] += 1
+                wire[0] += h['wire_bytes']
+                wire[1] += 1
             return r
         with ThreadPoolExecutor(max_workers=1) as ex, \
                 ThreadPoolExecutor(max_workers=1) as upx:
@@ -532,7 +537,9 @@ def main(classic: bool = False):
                 checkpoints.append((time.perf_counter() - t0, n_samples))
         jax.effects_barrier()
         dt = time.perf_counter() - t0
-        return _window_stats(checkpoints), n_samples, dt
+        wire[2] = accum.upload_bytes_total - up0[0]
+        wire[3] = accum.upload_frames - up0[1]
+        return _window_stats(checkpoints), n_samples, dt, wire
 
     # Repeat protocol: the headline is the MEDIAN of >=3 contiguous
     # step windows (weather-robust); min and the per-window rates ride
@@ -546,8 +553,7 @@ def main(classic: bool = False):
     # code-side regression looks like, so it stays in the headline
     # (the retry phase is still recorded in the tail for comparison).
     t_bench0 = time.perf_counter()
-    wire_stats = [0, 0]   # [sparse value-wire bytes, steps] (exact mode)
-    win, n_samples, dt = timed_phase(warmup_frames, n_frames)
+    win, n_samples, dt, wire_stats = timed_phase(warmup_frames, n_frames)
     cur = n_frames
     link_after = _measure_link()
     phases = [{'n_samples': n_samples, 'dt': round(dt, 3), **(win or {}),
@@ -560,13 +566,13 @@ def main(classic: bool = False):
     if stalled and retry_frames and time.perf_counter() - t_bench0 < 600:
         print('link stall detected; running one retry phase',
               file=sys.stderr)
-        win2, n2, dt2 = timed_phase(cur, cur + retry_frames)
+        win2, n2, dt2, wire2 = timed_phase(cur, cur + retry_frames)
         cur += retry_frames
         phases.append({'n_samples': n2, 'dt': round(dt2, 3),
                        **(win2 or {}), 'link_after': _measure_link()})
         if win2 and (win is None
                      or (link_bad and win2['median'] > win['median'])):
-            win, n_samples, dt = win2, n2, dt2
+            win, n_samples, dt, wire_stats = win2, n2, dt2, wire2
     samples_per_sec = win['median'] if win else n_samples / dt
 
     # Secondary operating point (BASELINE configs 1-3): bev_num=1 — no
@@ -581,13 +587,37 @@ def main(classic: bool = False):
         # bounded by max(upload wire, compute, fetch), not their sum.
         # A separate timer keeps these steps out of the steady-state
         # phase breakdown printed below.
-        _, n1, dt1 = timed_phase(cur, cur + bev1_frames, bev_num=1,
-                                 depth=1, timer=PhaseTimer())
+        _, n1, dt1, wire1 = timed_phase(cur, cur + bev1_frames, bev_num=1,
+                                        depth=1, timer=PhaseTimer())
         cur += bev1_frames
+        # The bev1 claim "at the upload floor" must be an instrumented
+        # artifact, not arithmetic: print the measured upload bytes/frame
+        # (accum.upload_obs telemetry, THIS phase only), a same-minute
+        # link probe, and the implied floor min(up, down)-side —
+        # samples/s can't exceed link_Bps / wire_bytes_per_sample in
+        # either direction. ratio_to_floor near 1.0 shows the three-way
+        # pipeline (upload i+1 / compute i / fetch i-1) really overlaps.
+        link1 = _measure_link()
+        up_mb = wire1[2] / 1e6 / max(wire1[3], 1)
+        down_mb = wire1[0] / 1e6 / max(wire1[1], 1)
+        floor_up = (link1['link_up_MBps'] / up_mb) if up_mb else None
+        floor_down = ((link1['link_down_MBps'] / down_mb)
+                      if down_mb else None)
+        floor = min(x for x in (floor_up, floor_down, float('inf'))
+                    if x is not None)
+        rate1 = n1 / dt1
         print(json.dumps({
             'metric': 'e2e_bev1_samples_per_sec_per_chip',
-            'value': round(n1 / dt1, 3), 'unit': 'samples/s (bev_num=1)',
-            'vs_baseline': round(n1 / dt1 / 50.0, 3)}), file=sys.stderr)
+            'value': round(rate1, 3), 'unit': 'samples/s (bev_num=1)',
+            'vs_baseline': round(rate1 / 50.0, 3),
+            'upload_MB_per_frame': round(up_mb, 3),
+            'fetch_MB_per_sample': round(down_mb, 3),
+            'link_bev1': link1,
+            'implied_floor_samples_per_sec':
+                round(floor, 2) if floor != float('inf') else None,
+            'ratio_to_floor': (round(rate1 / floor, 3)
+                               if floor and floor != float('inf')
+                               else None)}), file=sys.stderr)
 
     print('--- phase breakdown (steady state) ---', file=sys.stderr)
     print(timer.report(), file=sys.stderr)

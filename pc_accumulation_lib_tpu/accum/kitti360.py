@@ -155,6 +155,8 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._ws_dev = None
         self._pose_vec_dev = None    # (22,) pose-dependent raster params
         self.max_live_rows = 0       # compact_window telemetry (step())
+        self.upload_bytes_total = 0  # host->device obs wire telemetry
+        self.upload_frames = 0       # (see upload_obs; bench bev1 floor)
         self.transfer_dtype = transfer_dtype
         if img_transfer not in (None, 'rgb8', 'yuv420'):
             raise ValueError(f'img_transfer={img_transfer!r}')
@@ -374,6 +376,15 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             aux = jnp.asarray(sem_flat)
         else:
             aux = self._prep_rgb(rgb)
+        # Wire telemetry: the bool validity vector ships as one byte per
+        # element; everything else is its device dtype's width. bench.py
+        # divides this by frames to print the measured upload floor next
+        # to the bev_num=1 line (the upload bounds that operating point).
+        nb = int(pc_pad.nbytes) + int(valid.nbytes)
+        nb += (sum(int(a.nbytes) for a in aux) if isinstance(aux, tuple)
+               else int(aux.nbytes))
+        self.upload_bytes_total += nb
+        self.upload_frames += 1
         return DeviceObs(rgb, pc_pad, valid, aux)
 
     def _dispatch_obs(self, obs):

@@ -37,6 +37,17 @@ def pack_points7_np(pc: np.ndarray, n_pad: int) -> np.ndarray:
         raise ValueError(f'expected (N,7) rows, got {pc.shape}')
     if n > n_pad:
         raise ValueError(f'{n} points > pad {n_pad}')
+    # NaN/inf would sail past the range checks below (NaN compares False;
+    # min/max of an array containing NaN is NaN) and cast to int16/uint16
+    # with undefined values — check finiteness first so the fail-loudly
+    # contract holds like the float32 path's visible NaNs.
+    if n and not np.isfinite(pc).all():
+        bad = np.argwhere(~np.isfinite(pc))[0]
+        raise ValueError(
+            f'quantized upload: non-finite value at row {bad[0]} '
+            f'col {bad[1]} ({pc[bad[0], bad[1]]!r}) — quantization would '
+            f'be undefined; use transfer_dtype="float32" or clean the '
+            f'input')
     xyz_scaled = np.round(pc[:, :3] * 200.0)
     if n and (xyz_scaled.min() < -32768 or xyz_scaled.max() > 32767):
         raise ValueError(

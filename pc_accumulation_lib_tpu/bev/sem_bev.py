@@ -668,11 +668,13 @@ class SemBEVGenerator:
         are packed by actual occupancy, so everything past the hint is
         cap padding. Returns the device array the finalize should
         np.asarray — or, under ``fetch_sizing='exact'`` for a stacked
-        group, an ('exact', group, hdr, rung_prefixes, rung_sizes)
-        entry: the occupancy block and a small ladder of prefix buffers
-        are materialized NOW (one jitted splitter per group,
-        _get_rung_fn), and the finalize picks + copies the smallest
-        sufficient rung once ``hdr`` has landed (_resolve_fetch_groups)."""
+        group, an ('exact', group, hdr, rung_prefixes, rung_sizes,
+        pre_idx) 6-tuple: the occupancy block and a small ladder of
+        prefix buffers are materialized NOW (one jitted splitter per
+        group, _get_rung_fn), the hint-predicted rung ``pre_idx`` is
+        pre-issued for overlap, and the finalize picks + copies the
+        smallest sufficient rung once ``hdr`` has landed
+        (_resolve_fetch_groups)."""
         if self.fetch_dtype == 'sparse':
             S = 3 if gen_future else 1
             if self.fetch_sizing == 'exact' and arr.ndim >= 2:
@@ -832,7 +834,12 @@ class SemBEVGenerator:
                             ready = False
                             break
                     except Exception:
-                        pass
+                        # is_ready can raise (e.g. committed mesh outputs);
+                        # treat as not-ready so the finalize's blocking
+                        # fallback handles it instead of stalling dispatch
+                        # on a blocking np.asarray here.
+                        ready = False
+                        break
             if ready:
                 holder.setdefault('resolved_by', 'dispatch')
                 self._resolve_fetch_groups(holder)

@@ -19,6 +19,20 @@ Convention: ``register(source, target)`` returns T mapping source-frame
 coords to target-frame coords, minimizing target-normal residuals — matching
 o3d.registration_icp(source=prev, target=new) whose transformation is
 T_new_prev (kitti360_sem_pc_accum.py:119-127).
+
+Validation boundary (what is pinned vs what is not): this module is
+validated against SYNTHETIC oracles — exact rigid-transform recovery on
+randomized clouds, drift bounds over simulated drives, contamination /
+degenerate-geometry behavior, and normal-direction correctness
+(tests/test_icp.py) — NOT against Open3D's numerics, because Open3D is not
+installable in the build environment. The reference's operating point
+(threshold 1e3, kitti360_sem_pc_accum.py:123-126 via
+run_kitti360_bev_gen.py:71) accepts nearly every correspondence, so both
+solvers optimize the same point-to-plane objective and should agree to
+local-quadratic-solver tolerance on well-conditioned scans — that claim is
+ARGUED, not measured. tools/compare_icp_open3d.py is the ready-to-run
+numerical comparison for any Open3D-capable host (same call sequence as
+the reference, per-pair rotation/translation deltas + GT residuals).
 """
 from __future__ import annotations
 

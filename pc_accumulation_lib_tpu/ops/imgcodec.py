@@ -35,6 +35,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 import threading
 from typing import Optional
 
@@ -78,7 +79,9 @@ def _load_native() -> Optional[ctypes.CDLL]:
             lib.imgenc_yuv420.restype = ctypes.c_int
             _enc_lib = lib
         except Exception as e:  # toolchain-less host: numpy path
-            print(f'imgenc build failed ({e}); using numpy encode')
+            # stderr: bench.py's stdout contract is ONE JSON line.
+            print(f'imgenc build failed ({e}); using numpy encode',
+                  file=sys.stderr)
             _enc_failed = True
         return _enc_lib
 
