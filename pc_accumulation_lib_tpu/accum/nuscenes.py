@@ -34,12 +34,25 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                  accum_cfg: Optional[cfg.AccumConfig] = None,
                  icp_cfg: Optional[cfg.ICPConfig] = None,
                  seed: Optional[int] = None,
-                 img_transfer: str = 'rgb8'):
+                 img_transfer: str = 'rgb8',
+                 transfer_dtype: str = 'float32'):
+        """``img_transfer``/``transfer_dtype`` mirror the oracle
+        accumulator's wire encodings (accum/nuscenes_oracle.py): 'yuv420'
+        halves the 6-camera upload, 'quantized' packs the 7-column point
+        rows at 13 B/point (5 mm fixed-point xyz; accum/pointpack.py has
+        the envelope + loud range checks). On THIS path the unpacked
+        points also feed ICP (reference nuscenes_sem_pc_accum.py:99-174
+        would pay the same float32 uploads) — the 5 mm grid is far below
+        the ICP downsample voxel, so registration is unaffected beyond
+        quantization noise (covered by tests/test_pointpack.py)."""
         if use_gt_sem:
             raise NotImplementedError()
         if img_transfer not in ('rgb8', 'yuv420'):
             raise ValueError(f'img_transfer={img_transfer!r}')
+        if transfer_dtype not in ('float32', 'quantized'):
+            raise ValueError(f'transfer_dtype={transfer_dtype!r}')
         self.img_transfer = img_transfer
+        self.transfer_dtype = transfer_dtype
         super().__init__(horizon_dist, icp_threshold, semseg_model,
                          semseg_filters, sem_idxs, use_gt_sem, bev_params,
                          accum_cfg, seed)
@@ -65,10 +78,14 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         filters = self.semseg_filters
         model = self.semseg_model
         cap = self.accum_cfg.painted_cap
+        n_pad = self.accum_cfg.max_points_per_frame
         max_corr = jnp.float32(self.icp_cfg.max_corr_dist)
 
         def step(state, prev_cloud, T_world_prev, variables, pc_pad, valid,
                  cam_idx, imgs, frame_id, first):
+            if pc_pad.dtype == jnp.uint8:  # quantized 13 B/point transfer
+                from pc_accumulation_lib_tpu.accum import pointpack
+                pc_pad = pointpack.unpack_points7(pc_pad, n_pad)
             new_cloud = self._icp_pre(pc_pad[:, :3], valid)
             if first:
                 T_new_prev = jnp.eye(4, dtype=jnp.float32)
@@ -121,8 +138,12 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             raise RuntimeError(
                 f'Frame has {pc.shape[0]} points > max_points_per_frame='
                 f'{n_pad}.')
-        pc_p = np.zeros((n_pad, pc.shape[1]), np.float32)
-        pc_p[:pc.shape[0]] = pc
+        if self.transfer_dtype == 'quantized':
+            from pc_accumulation_lib_tpu.accum import pointpack
+            pc_p = pointpack.pack_points7_np(pc, n_pad)
+        else:
+            pc_p = np.zeros((n_pad, pc.shape[1]), np.float32)
+            pc_p[:pc.shape[0]] = pc
         ci_p = -np.ones(n_pad, np.int32)
         ci_p[:pc.shape[0]] = np.asarray(obs['pc_cam_idx'], np.int32)
         valid = np.arange(n_pad) < pc.shape[0]

@@ -166,14 +166,11 @@ def run(nuscenes_path: str, semseg_model=None,
                 accum_cfg=accum_cfg, seed=seed, img_transfer=img_transfer,
                 transfer_dtype=pc_transfer)
         else:
-            if pc_transfer != 'float32':
-                raise NotImplementedError(
-                    'pc_transfer=quantized is oracle-path only for now')
             sem_pc_accum = NuScenesSemanticPointCloudAccumulator(
                 accum_horizon_dist, icp_threshold, semseg_model,
                 NUSCENES_FILTERS, cfg.DEFAULT_SEM_IDXS, False, bev_params,
                 loc, accum_cfg=accum_cfg, icp_cfg=icp_cfg, seed=seed,
-                img_transfer=img_transfer)
+                img_transfer=img_transfer, transfer_dtype=pc_transfer)
 
         dataloader = NuScenesDataloader(nusc, [scene_id], 1, num_sweeps)
         # Phase 1: integrate the whole scene (reference :236-237).

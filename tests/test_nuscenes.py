@@ -161,6 +161,53 @@ def test_nuscenes_icp_accumulator_runs():
     assert 'road_full' in bev
 
 
+def test_nuscenes_icp_quantized_transfer_matches_float32():
+    """transfer_dtype='quantized' on the ICP (estimated-pose) path: the
+    13 B/point packed upload must reproduce the float32 path's poses to
+    quantization-propagated tolerance and its painted buffer semantics
+    (same contract the oracle path pins in tests/test_pointpack.py; the
+    runner gate that used to raise here is removed)."""
+    stream = SyntheticNuScenesStream(n_frames=6, step=2.0, lidar_range=25.0,
+                                     seed=7)
+    obs_list = [o for batch in stream for o in batch]
+    model = SemSegTPU(seed=0, stage_sizes=(1, 1, 1, 1))
+
+    def make(transfer_dtype):
+        return NuScenesSemanticPointCloudAccumulator(
+            horizon_dist=100.0, icp_threshold=1e3, semseg_model=model,
+            bev_params=BEV_PARAMS, loc='synth-map', accum_cfg=ACCUM_CFG,
+            icp_cfg=cfg.ICPConfig(max_downsampled=2048, num_iters=16),
+            seed=0, transfer_dtype=transfer_dtype)
+
+    a, b = make('float32'), make('quantized')
+    for obs in obs_list:
+        a.integrate([obs])
+        b.integrate([obs])
+    # ICP consumed 5 mm-quantized coords on the quantized path; the pose
+    # chain must agree to well under the downsample voxel.
+    pa, pb = np.asarray(a.get_pose()), np.asarray(b.get_pose())
+    assert pa.shape == pb.shape
+    assert np.max(np.abs(pa - pb)) < 0.05
+    va, vb = np.asarray(a.state.valid), np.asarray(b.state.valid)
+    np.testing.assert_array_equal(va, vb)
+    qa, qb = np.asarray(a.state.points)[va], np.asarray(b.state.points)[vb]
+    # World xyz: 5 mm quantization + the (small) pose-chain difference.
+    assert np.max(np.abs(qa[:, :3] - qb[:, :3])) < 0.06
+    # Painted sem/inst/dyn columns agree except where a u/v half-pixel
+    # round crossed a pixel boundary.
+    same = np.mean(np.all(qa[:, 7:10] == qb[:, 7:10], axis=1))
+    assert same > 0.995
+
+
+def test_nuscenes_icp_rejects_bad_transfer_dtype():
+    with pytest.raises(ValueError):
+        NuScenesSemanticPointCloudAccumulator(
+            horizon_dist=100.0, icp_threshold=1e3,
+            semseg_model=SemSegTPU(seed=0, stage_sizes=(1, 1, 1, 1)),
+            bev_params=BEV_PARAMS, accum_cfg=ACCUM_CFG,
+            transfer_dtype='int8')
+
+
 def test_oracle_upload_obs_matches_raw():
     """Pre-uploaded OracleDeviceObs (upload_obs — the double-buffered
     6-camera transfer used by bench.py's oracle mode) must be equivalent
