@@ -371,9 +371,18 @@ def main(classic: bool = False):
     # 26th frame), so the cap is sized to 26 frames x ~38.2k peak painted;
     # the overflow guard raises and max_live_rows is printed below — keep
     # the cap above it.
+    # compact_rungs: the accumulation RAMP dominates the 18-step timed
+    # phase (live rows grow ~38k/frame from ~230k at phase start to the
+    # ~800k steady state), so sweeping the full cap wastes up to ~10 ms of
+    # sort+kernel per raster early on. The ladder sweeps the smallest
+    # provably-sufficient rung (bit-identical outputs; accum.prewarm_rungs
+    # below pre-loads each shape's executable so crossings cost nothing
+    # mid-phase). 860160 covers the observed 799,654-row steady peak with
+    # 7.5% margin; the guard escalates to compact_cap before raising.
     accum_cfg = cfg.AccumConfig(max_points_per_frame=131072, max_frames=26,
                                 max_painted_points_per_frame=40960,
-                                compact_cap=993280)
+                                compact_cap=993280,
+                                compact_rungs=(393216, 655360, 860160))
     icp_cfg = cfg.ICPConfig(max_downsampled=4096, num_iters=16)
     # Random rotate/translate/zoom + polynomial warp augmentation: each
     # sample yields bevs_per_sample distinct BEVs (BASELINE config 5).
@@ -434,6 +443,11 @@ def main(classic: bool = False):
         else:
             accum.step([frames[i]], bev_num=bn, gen_future=True)
     jax.effects_barrier()
+    if not classic:
+        # Pre-load every compact-rung shape's executable NOW — a rung
+        # crossing inside a timed phase would otherwise stall a step on
+        # the ~0.4 s/shape (cached) tunnel executable load.
+        accum.prewarm_rungs(gen_future=True)
     # Cold compile cache: shorten the timed phase so the run still finishes
     # inside a driver timeout (steady-state rate is unaffected).
     if time.perf_counter() - t_warm > 240:
@@ -644,7 +658,8 @@ def main(classic: bool = False):
           f'{gen.sparse_short_fetches - shorts_warmup} after warmup '
           f'(adaptive hint {gen._fetch_hint_bytes} B)', file=sys.stderr)
     print(f'compaction: max {accum.max_live_rows} live rows '
-          f'(cap {accum.accum_cfg.compact_cap})', file=sys.stderr)
+          f'(cap {accum.accum_cfg.compact_cap}, rung steps '
+          f'{dict(sorted(accum.rungs_used.items()))})', file=sys.stderr)
     result = {
         'metric': ('e2e_bev_classic_path_samples_per_sec_per_chip'
                    if classic else 'e2e_bev_samples_per_sec_per_chip'),

@@ -9,6 +9,7 @@ clouds every frame.
 """
 from __future__ import annotations
 
+import threading
 from typing import NamedTuple, Optional
 
 import jax
@@ -157,6 +158,25 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self.max_live_rows = 0       # compact_window telemetry (step())
         self.upload_bytes_total = 0  # host->device obs wire telemetry
         self.upload_frames = 0       # (see upload_obs; bench bev1 floor)
+        # Compact-rung ladder state (config.AccumConfig.compact_rungs):
+        # _live_ub is a host-side UPPER BOUND on live buffer rows —
+        # incremented by painted_cap per dispatched frame (live rows can
+        # grow by at most that), tightened one step behind when step()'s
+        # lazy n_live fetch lands. _cum_growth timestamps the bound so the
+        # tightening accounts for frames dispatched since.
+        self._live_ub = 0
+        self._cum_growth = 0
+        self._ub_lock = threading.Lock()   # dispatch (main thread) vs
+        # finalize (drain worker) both update the bound
+        self._rungs = None
+        self.rungs_used = {}         # rung -> step count (telemetry)
+        if self.accum_cfg.compact_cap and self.accum_cfg.compact_rungs:
+            ccap = self.accum_cfg.compact_cap
+            rungs = sorted(set(int(r) for r in
+                               self.accum_cfg.compact_rungs if r < ccap))
+            if any(r <= 0 for r in rungs):
+                raise ValueError('compact_rungs must be positive')
+            self._rungs = tuple(rungs) + (ccap,)
         self.transfer_dtype = transfer_dtype
         if img_transfer not in (None, 'rgb8', 'yuv420'):
             raise ValueError(f'img_transfer={img_transfer!r}')
@@ -433,6 +453,13 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         self._pose_vec_dev = pose_vec
         # Reserve the frame id now (dispatch order); meta appended at fetch.
         self.frame_count += 1
+        # Rung-ladder growth bound: this frame adds at most painted_cap
+        # live rows (compact_rows caps the insert); eviction only shrinks.
+        cap_g = self.accum_cfg.painted_cap
+        ring_max = self.accum_cfg.max_frames * cap_g
+        with self._ub_lock:
+            self._live_ub = min(self._live_ub + cap_g, ring_max)
+            self._cum_growth += cap_g
         try:
             packed.copy_to_host_async()
         except Exception:
@@ -519,11 +546,23 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         pose_vec = self._pose_vec_dev
         ccap = self.accum_cfg.compact_cap
         n_live = None
+        cum_at_dispatch = self._cum_growth
         if ccap:
             # Once-per-step live-window compaction: every per-sample raster
             # below sweeps ccap rows instead of max_frames * painted_cap
             # (raster cost ~13 ms per M rows on v5e — dead slots and
-            # per-frame padding are pure overhead x bev_num).
+            # per-frame padding are pure overhead x bev_num). With a rung
+            # ladder, sweep the smallest rung the host-side growth bound
+            # proves sufficient (bit-identical outputs; _live_ub already
+            # includes this step's dispatches above).
+            if self._rungs is not None:
+                ub = min(self._live_ub, ccap)
+                ax = (gen._mesh.shape['points'] if gen._mesh is not None
+                      else 1)
+                ccap = next((r for r in self._rungs
+                             if r >= ub and r % ax == 0),
+                            self.accum_cfg.compact_cap)
+                self.rungs_used[ccap] = self.rungs_used.get(ccap, 0) + 1
             flat_pts, pt_fids, flat_valid, n_live = buffer.compact_window(
                 self.state, self._ws_dev, ccap)
             try:
@@ -600,11 +639,64 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 if nl > ccap:
                     raise RuntimeError(
                         f'Live-window overflow: {nl} live buffer rows > '
-                        f'compact_cap={ccap}; raise AccumConfig.compact_cap '
-                        '(points must not be silently dropped).')
+                        f'the swept capacity {ccap} (compact_cap='
+                        f'{self.accum_cfg.compact_cap}); raise '
+                        'AccumConfig.compact_cap (points must not be '
+                        'silently dropped).')
+                # Tighten the rung-ladder growth bound: nl is exact for
+                # the state as of this step's dispatch; frames dispatched
+                # since add at most painted_cap each.
+                with self._ub_lock:
+                    self._live_ub = min(
+                        self._live_ub,
+                        nl + (self._cum_growth - cum_at_dispatch))
             return bev_handle()
 
         return finalize if async_fetch else finalize()
+
+    def prewarm_rungs(self, fetch_group: Optional[int] = None,
+                      gen_future: bool = True,
+                      include_single: bool = True):
+        """Compile (or load from the persistent compile cache) every
+        compact-rung variant of the step() device pipeline — compact_window,
+        the aug-invariant prep, the grouped raster scan, and (with
+        ``include_single``) the single-sample raster used by bev_num=1.
+
+        Call once during warmup: without it, each mid-run rung crossing
+        pays a compile or a ~0.4 s executable load through a remote-TPU
+        tunnel inside the steady-state loop. All pieces are pure — state
+        and fetch bookkeeping are untouched; outputs are discarded after a
+        tiny tail fetch that drains the (in-order) device queue."""
+        gen = self.sem_bev_generator
+        if (self._rungs is None or self._pose_vec_dev is None
+                or gen._mesh is not None or not gen._prepped_ok):
+            return
+        G = max(1, fetch_group if fetch_group is not None
+                else gen.fetch_group)
+        hf = (np.inf if gen.height_filter is None else gen.height_filter)
+        aug = np.zeros((G, 9), np.float32)
+        aug[:, 3] = 1.0                      # identity zoom
+        aug[:, 5] = 1.0                      # warp a2=1 (identity-ish)
+        aug[:, 7] = 1.0                      # warp b2=1
+        aug[:, 8] = hf
+        gfn = gen._get_prepped_raster_group()
+        sfn = gen._get_prepped_raster() if include_single else None
+        last = None
+        for rung in self._rungs:
+            pts, fids, valid, _ = buffer.compact_window(
+                self.state, self._ws_dev, rung)
+            ref, packed, packed2 = gen.prep_points(
+                pts, self.state.inst_dyn, self._pose_vec_dev)
+            out = gfn(ref, valid, fids, packed, packed2,
+                      self._pose_vec_dev, jnp.asarray(aug), gen_future)
+            last = out[0] if isinstance(out, tuple) else out
+            if sfn is not None:
+                o = sfn(ref, valid, fids, packed, packed2,
+                        (self._pose_vec_dev, jnp.asarray(aug[0])),
+                        gen_future)
+                last = o[0] if isinstance(o, tuple) else o
+        if last is not None:
+            np.asarray(jnp.sum(last))        # drain the in-order queue
 
     def obs2sem_vec_space(self, rgb, pc: np.ndarray,
                           sem_gt: Optional[np.ndarray] = None):

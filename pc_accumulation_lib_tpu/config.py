@@ -96,6 +96,21 @@ class AccumConfig:
     # count (the overflow guard raises, points are never dropped
     # silently); None disables compaction.
     compact_cap: Optional[int] = None
+    # Optional FIXED ladder of smaller compaction sizes below compact_cap
+    # (ascending; compact_cap is appended implicitly). step() then sweeps
+    # the smallest rung provably sufficient for the current live-row
+    # count — raster cost is ~linear in swept rows (~13 ms per M on v5e),
+    # and during the accumulation ramp most of a full-cap sweep is dead
+    # padding. The choice is an upper BOUND, not a heuristic: live rows
+    # grow by at most painted_cap per integrated frame, so
+    # last-synced-live + frames-since-sync * painted_cap bounds the live
+    # count without any host sync at dispatch (the bound is tightened one
+    # step behind by the lazy n_live fetch). Outputs are bit-identical
+    # across rungs (rows past n_live are masked to the sort sentinel).
+    # Each rung is one extra compile (persistent-cached); call
+    # accum.prewarm_rungs() during warmup so mid-run rung crossings don't
+    # pay the ~0.4 s/shape executable load through a remote-TPU tunnel.
+    compact_rungs: Optional[Tuple[int, ...]] = None
 
     @property
     def painted_cap(self) -> int:

@@ -378,6 +378,62 @@ def test_step_compaction_overflow_raises():
         a.step([frames[1]], bev_num=1, gen_future=True)
 
 
+def test_step_compact_rung_ladder_matches_single_cap():
+    """AccumConfig.compact_rungs: sweeping the smallest provably-
+    sufficient rung must be equivalent to always sweeping compact_cap
+    (rows past n_live are sort-sentinel masked either way — differences
+    are sort tie-order f32 noise on intensity sums only), must actually
+    cross several rungs over an accumulation ramp, and must never pick a
+    rung below the live count (the overflow guard would raise).
+    prewarm_rungs compiles every rung shape without touching state."""
+    frames = _frames()
+
+    def make(rungs):
+        H_cam_velo, H_velo_cam, P_cam_frame = make_calib()
+        calib = dict(h_velo_cam=H_velo_cam, p_cam_frame=P_cam_frame,
+                     p_velo_frame=P_cam_frame @ H_velo_cam)
+        accum_cfg = cfg.AccumConfig(
+            max_points_per_frame=8192, max_frames=10,
+            max_painted_points_per_frame=8192, compact_cap=49152,
+            compact_rungs=rungs)
+        a = Kitti360SemanticPointCloudAccumulator(
+            HORIZON, calib, 1e3, None, cfg.DEFAULT_SEMSEG_FILTERS,
+            cfg.DEFAULT_SEM_IDXS, True,
+            dict(type='sem', view_size=40, pixel_size=64,
+                 max_trans_radius=2.0, zoom_thresh=0.05, do_warp=True,
+                 int_scaler=20., int_sep_scaler=20.,
+                 int_mid_threshold=0.5),
+            accum_cfg=accum_cfg,
+            icp_cfg=cfg.ICPConfig(max_downsampled=512, num_iters=8),
+            seed=7)
+        gen = a.sem_bev_generator
+        gen.use_prepped_raster = True
+        gen._prep_interpret = True
+        return a
+
+    a_one = make(None)
+    a_lad = make((8192, 16384, 32768))
+    a_one.integrate([frames[0]])
+    a_lad.integrate([frames[0]])
+    state_before = a_lad.state
+    a_lad.prewarm_rungs(gen_future=True)
+    assert a_lad.state is state_before       # prewarm is pure
+    for i in range(1, N_FRAMES):
+        bevs_o = a_one.step([frames[i]], bev_num=2, gen_future=True)
+        bevs_l = a_lad.step([frames[i]], bev_num=2, gen_future=True)
+        assert a_one.window_start == a_lad.window_start
+        for bo, bl in zip(bevs_o, bevs_l):
+            for k in bo:
+                if k.startswith('trajs') or k == 'gt_lanes':
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(bo[k], np.float32),
+                    np.asarray(bl[k], np.float32), atol=2e-3, err_msg=k)
+    assert len(a_lad.rungs_used) >= 2, a_lad.rungs_used
+    assert sum(a_lad.rungs_used.values()) == N_FRAMES - 1
+    assert a_lad.max_live_rows <= 49152
+
+
 def test_step_grouped_scan_dispatch_sparse():
     """The PRODUCTION bench path — step() with sparse fetch + prepped
     raster — dispatches each fetch group as ONE lax.scan
