@@ -178,7 +178,8 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
                                 int_mid_threshold, rgb_fill=0,
                                 points_axis: str = 'points', pack=None,
                                 sparse_cap=None, dest_cap_factor: float = 4.0,
-                                use_pallas=None):
+                                use_pallas=None,
+                                calibrate_dest_cap: float = 2.0):
     """Tile-sharded mesh raster: shard CELLS, fly points to their owners.
 
     The psum raster (make_sharded_raster_fn) is the readable spec, but
@@ -203,7 +204,15 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
          end). ``fn.route_peak_rows``/``fn.route_cap`` expose the
          observed busiest-stripe row count vs capacity so the factor
          can be tuned from data (the capacity gather is the dominant
-         tile routing cost — PERF_NOTES).
+         tile routing cost — PERF_NOTES). ``calibrate_dest_cap``: after
+         the FIRST clean route-stats reading lands, the engine rebuilds
+         itself once at observed-need x this margin (never above
+         ``dest_cap_factor``, quantized to 0.25 steps) — a one-shot
+         two-phase shape set, not an adaptive shape: measured skew is
+         ~0.9x uniform (mod-n striping balances radial hotspots), so the
+         default 4.0 ships ~2x unused gather work that this recovers
+         without guessing. None/0 disables; the loud overflow raise is
+         unchanged and states the factor actually needed.
       3. Each shard runs the single-chip sort + segmented-stats pipeline
          on its stripe (ops/sort_raster.split_stats_from_words_flat:
          Pallas kernel on TPU, pure-XLA fallback elsewhere) — medians
@@ -237,6 +246,11 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         use_pallas = next(iter(mesh.devices.flat)).platform == 'tpu'
     sem_idxs = dict(sem_idxs)
     n_loc = n_cells // n
+    # Mutable build state for the one-shot dest-capacity calibration:
+    # tile_body reads _cur['factor'] at trace time; _check shrinks it
+    # once and rebuilds the jitted fns.
+    _cur = {'factor': float(dest_cap_factor),
+            'calibrated': not calibrate_dest_cap}
 
     def tile_body(points, valid, pt_frame_ids, inst_dyn, packed,
                   gen_future):
@@ -279,8 +293,10 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         M_l = points.shape[0]
         # Expected rows per destination is M_l / n; the factor buys skew
         # headroom (cells stripe as cell % n, so spatial hotspots
-        # interleave across destinations).
-        cap = max(1, int(dest_cap_factor * M_l / n))
+        # interleave across destinations). Read at trace time — the
+        # one-shot calibration rebuilds the jitted fns with the shrunk
+        # factor (see _check).
+        cap = max(1, int(_cur['factor'] * M_l / n))
         cell = c2 // nsplit
         dest = jnp.where(c2 < sent, cell % n, n)
         sd, sc2, sw1, sw2 = jax.lax.sort((dest, c2, w1, w2), num_keys=1)
@@ -372,9 +388,7 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
 
         return with_pose_vec
 
-    fns = {True: jax.jit(build(True)), False: jax.jit(build(False))}
-    tfns = {True: jax.jit(build(True, True)),
-            False: jax.jit(build(False, True))}
+    fns, tfns, gfns = {}, {}, {}
 
     def build_group(gen_future):
         # Grouped dispatch (mesh counterpart of
@@ -405,25 +419,49 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
                                        rep, rep),
                              out_specs=out_spec, check_vma=False)
 
-    gfns = {True: jax.jit(build_group(True)),
-            False: jax.jit(build_group(False))}
+    def _rebuild():
+        fns.update({True: jax.jit(build(True)),
+                    False: jax.jit(build(False))})
+        tfns.update({True: jax.jit(build(True, True)),
+                     False: jax.jit(build(False, True))})
+        gfns.update({True: jax.jit(build_group(True)),
+                     False: jax.jit(build_group(False))})
+
+    _rebuild()
 
     import collections
     pending = collections.deque()
 
-    def _check(stats_dev):
+    def _check(item):
+        import math
+
         import numpy as np
+        stats_dev, factor = item
         v = np.asarray(stats_dev)
         dropped, peak, cap = int(v[0]), int(v[1]), int(v[2])
         raster.route_peak_rows = max(raster.route_peak_rows, peak)
         raster.route_cap = cap
         if dropped > 0:
-            need = dest_cap_factor * peak / max(cap, 1)
+            need = factor * peak / max(cap, 1)
             raise TileRouteOverflow(
                 f'tile-sharded raster dropped {dropped} rows: the busiest '
                 f'destination stripe held {peak} rows vs all-to-all '
-                f'capacity {cap} (dest_cap_factor={dest_cap_factor}); '
+                f'capacity {cap} (dest_cap_factor={factor}); '
                 f'set dest_cap_factor >= {need:.2f}')
+        if not _cur['calibrated'] and peak > 0:
+            # One-shot calibration off the first clean reading: rebuild
+            # at observed-need x margin (quantized, never above the
+            # initial factor). cap/factor == M_local/n for the build this
+            # reading came from.
+            _cur['calibrated'] = True
+            need = peak / max(cap / factor, 1.0)
+            new = min(_cur['factor'],
+                      max(1.0, math.ceil(need * calibrate_dest_cap * 4)
+                          / 4))
+            if new < _cur['factor'] - 1e-9:
+                _cur['factor'] = new
+                _rebuild()
+            raster.dest_cap_factor = _cur['factor']
 
     def raster(points, valid, pt_frame_ids, inst_dyn, params, gen_future):
         if isinstance(params, bev_core.RasterParams):
@@ -446,7 +484,7 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
         # dispatch; the deque drains a few calls behind (the values have
         # long arrived), same delayed-raise philosophy as the painted-cap
         # guard (accum/kitti360.py fetch()).
-        pending.append(stats)
+        pending.append((stats, _cur['factor']))
         while len(pending) > 3:
             _check(pending.popleft())
         return out
@@ -467,7 +505,7 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
             stats.copy_to_host_async()
         except Exception:
             pass
-        pending.append(stats)
+        pending.append((stats, _cur['factor']))
         while len(pending) > 3:
             _check(pending.popleft())
         return out
@@ -480,6 +518,8 @@ def make_tile_sharded_raster_fn(mesh: Mesh, view_size, pixel_size, sem_idxs,
     # of guessing.
     raster.route_peak_rows = 0
     raster.route_cap = None
+    # Current capacity factor (shrinks once when calibration lands).
+    raster.dest_cap_factor = _cur['factor']
     return raster
 
 

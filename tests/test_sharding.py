@@ -556,6 +556,44 @@ def test_tile_sharded_overflow_raises(rng):
     assert tile_fn.route_peak_rows > tile_fn.route_cap
 
 
+def test_tile_sharded_dest_cap_calibration(rng):
+    """One-shot dest-capacity calibration (calibrate_dest_cap): after the
+    first clean route-stats reading drains, the engine rebuilds itself
+    ONCE at observed-need x margin — never above the initial factor —
+    subsequent rasters ride the smaller all-to-all capacity (the capacity
+    gather is the dominant tile routing cost), and outputs are unchanged
+    up to sort tie-order noise on intensity sums."""
+    mesh = mesh_mod.make_mesh((1, 8))
+    pts, valid, fids = make_points(rng)
+    params = core.identity_params(window=(0, 9), present_frame=5)
+    tile_fn = sharded.make_tile_sharded_raster_fn(
+        mesh, 40.0, P, SEM_IDXS, 20., 20., 0.5,
+        dest_cap_factor=4.0, calibrate_dest_cap=2.0)
+    sp, sv, sf = sharded.shard_points_to_mesh(mesh, jnp.asarray(pts),
+                                              jnp.asarray(valid),
+                                              jnp.asarray(fids))
+    out1 = np.asarray(tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32),
+                              params, True))
+    cap0 = None
+    tile_fn.drain()          # first clean reading -> calibration lands
+    cap0 = tile_fn.route_cap
+    assert 1.0 <= tile_fn.dest_cap_factor < 4.0
+    out2 = np.asarray(tile_fn(sp, sv, sf, jnp.zeros(4, jnp.float32),
+                              params, True))
+    tile_fn.drain()
+    # The rebuilt engine reports (and fits) the shrunk capacity.
+    assert tile_fn.route_cap < cap0
+    assert 0 < tile_fn.route_peak_rows <= tile_fn.route_cap
+    m1 = core.unpack_maps(out1, True)
+    m2 = core.unpack_maps(out2, True)
+    for k in m1:
+        atol = 0.0 if k.startswith('elevation') or k.startswith('count') \
+            else 2e-2 if k.startswith('intensity') else 1e-3
+        np.testing.assert_allclose(np.asarray(m2[k], np.float32),
+                                   np.asarray(m1[k], np.float32),
+                                   atol=atol, err_msg=k)
+
+
 def test_tile_sharded_group_matches_per_sample(rng):
     """raster.group — ONE shard_map submission scanning a fetch group's
     aug draws (the mesh counterpart of the single-chip grouped-scan
