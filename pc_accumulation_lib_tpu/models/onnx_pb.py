@@ -238,6 +238,33 @@ def _tensor_bytes(name: str, arr: np.ndarray, encoding: str) -> bytes:
     return bytes(out)
 
 
+def write_graph(path: str, named: Dict[str, np.ndarray], nodes=(),
+                encoding: str = 'raw') -> None:
+    """Write an ONNX ModelProto with initializers AND a node list — the
+    exact inverse of ``read_graph`` (same onnx.proto3 field subset),
+    needing no ``onnx`` package. ``nodes`` is an iterable of
+    ``(op_type, inputs, outputs)`` tuples in topological order, the same
+    record shape ``read_graph`` returns, so a graph can be read,
+    transformed, and written back hermetically (tests synthesize whole
+    exporter universes this way for the structural matcher)."""
+    graph = bytearray()
+    for name, arr in named.items():
+        graph += _rec(5, 2, _tensor_bytes(name, arr, encoding))
+    for op, ins, outs in nodes:
+        node = bytearray()
+        for t in ins:
+            node += _rec(1, 2, t.encode('utf-8'))    # NodeProto.input
+        for t in outs:
+            node += _rec(2, 2, t.encode('utf-8'))    # NodeProto.output
+        node += _rec(4, 2, op.encode('utf-8'))       # NodeProto.op_type
+        graph += _rec(1, 2, bytes(node))             # GraphProto.node
+    graph += _rec(2, 2, b'graph')                    # GraphProto.name
+    model = (_rec(1, 0, 8)                           # ModelProto.ir_version
+             + _rec(7, 2, bytes(graph)))             # ModelProto.graph
+    with open(path, 'wb') as f:
+        f.write(model)
+
+
 def write_initializers(path: str, named: Dict[str, np.ndarray],
                        identities=(), encoding: str = 'raw') -> None:
     """Write {name: ndarray} as an ONNX ModelProto — the exact inverse of
@@ -246,19 +273,10 @@ def write_initializers(path: str, named: Dict[str, np.ndarray],
     emitted as Identity nodes, mirroring exporter weight deduplication.
     Lets tests synthesize real graph files hermetically, and gives the
     framework an export path consumable by standard ONNX tooling."""
-    graph = bytearray()
-    for name, arr in named.items():
-        graph += _rec(5, 2, _tensor_bytes(name, arr, encoding))
-    for src, dst in identities:
-        node = (_rec(1, 2, src.encode('utf-8'))      # NodeProto.input
-                + _rec(2, 2, dst.encode('utf-8'))    # NodeProto.output
-                + _rec(4, 2, b'Identity'))           # NodeProto.op_type
-        graph += _rec(1, 2, node)                    # GraphProto.node
-    graph += _rec(2, 2, b'graph')                    # GraphProto.name
-    model = (_rec(1, 0, 8)                           # ModelProto.ir_version
-             + _rec(7, 2, bytes(graph)))             # ModelProto.graph
-    with open(path, 'wb') as f:
-        f.write(model)
+    write_graph(path, named,
+                nodes=[('Identity', [src], [dst])
+                       for src, dst in identities],
+                encoding=encoding)
 
 
 def read_graph(path: str):
