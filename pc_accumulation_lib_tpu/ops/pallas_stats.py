@@ -331,6 +331,272 @@ def window_stats(sorted_keys, weights_t, win_start, win_len, num_groups,
     return sums, mins, meds
 
 
+def _f16_bits_to_f32(bits):
+    """Decode float16 bit patterns held in an int32 vector to float32 —
+    arithmetically, on the VPU (Mosaic has no 16-bit bitcast on an i32
+    lane). Normals re-bias the exponent into a float32 bit pattern
+    (one i32 bitcast); subnormals are exact as mant * 2^-24. exp==31
+    (inf/nan) never occurs here: the bits come from casting finite point
+    heights (sort_raster.pack_payload_words). Exactness for all finite
+    patterns is pinned by tests/test_pallas_stats.py. ``bits`` must be
+    >= 2-D (pltpu.bitcast has no 1-D form)."""
+    sgn = (bits >> 15) & 1
+    expo = (bits >> 10) & 31
+    mant = bits & 1023
+    f32_bits = (sgn << 31) | ((expo + 112) << 23) | (mant << 13)
+    normal = pltpu.bitcast(f32_bits, jnp.float32)
+    sub = ((1.0 - 2.0 * sgn.astype(jnp.float32))
+           * mant.astype(jnp.float32) * jnp.float32(2.0 ** -24))
+    return jnp.where(expo == 0, sub, normal)
+
+
+def _kernel_words(win_start_ref, win_len_ref, keys_hbm, words_hbm, sum_ref,
+                  min_ref, *rest, n_med=0, med_nsplit=0, CHUNK=CHUNK,
+                  WIN=WIN):
+    """The words form of _kernel: identical math, but the per-point
+    features arrive as the TWO packed int32 sort-payload words
+    (sort_raster.pack_payload_words) and are unpacked IN-KERNEL on the
+    VPU — 12 B/row of DMA instead of 36, and none of the XLA-side
+    unpack/(8,N)-pad passes between the main sort and the kernel.
+    Additionally gates the median zero-init/finalize (the per-window
+    cumsum + rank extraction — WIN-invariant total work in _kernel) on
+    the window being non-empty: empty windows' median blocks hold
+    garbage, which the XLA side already masks via the counts."""
+    if n_med:
+        (med_ref, hist_ref, key_buf, word_buf, key_sem, word_sem) = rest
+    else:
+        med_ref = hist_ref = None
+        key_buf, word_buf, key_sem, word_sem = rest
+    w = pl.program_id(0)
+    start = win_start_ref[w]
+    length = win_len_ref[w]
+    base = w * WIN
+
+    sum_ref[...] = jnp.zeros_like(sum_ref)
+    min_ref[...] = jnp.full_like(min_ref, jnp.inf)
+
+    B = CHUNK + ALIGN
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, WIN), 1)
+    row_pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (N_BINS, B), 0)
+    nchunks = pl.cdiv(length, CHUNK)
+
+    if hist_ref is not None:
+        @pl.when(nchunks > 0)
+        def _zero_hist():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    def chunk_dma(i, slot):
+        off = start + i * CHUNK
+        off_al = pl.multiple_of((off // ALIGN) * ALIGN, ALIGN)
+        cp_k = pltpu.make_async_copy(
+            keys_hbm.at[0, pl.ds(off_al, B)], key_buf.at[slot, 0, :],
+            key_sem.at[slot])
+        cp_w = pltpu.make_async_copy(
+            words_hbm.at[:, pl.ds(off_al, B)], word_buf.at[slot],
+            word_sem.at[slot])
+        return cp_k, cp_w
+
+    @pl.when(nchunks > 0)
+    def _warmup():
+        k0, w0 = chunk_dma(0, 0)
+        k0.start()
+        w0.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _prefetch():
+            kn, wn = chunk_dma(i + 1, nslot)
+            kn.start()
+            wn.start()
+
+        kc, wc = chunk_dma(i, slot)
+        kc.wait()
+        wc.wait()
+
+        off = start + i * CHUNK
+        rem = off - (off // ALIGN) * ALIGN
+        local = key_buf[slot, 0, :] - base                # (B,)
+        in_len = (row_pos >= rem) & (
+            row_pos < rem + jnp.minimum(length - i * CHUNK, CHUNK))
+        valid = in_len & (local >= 0) & (local < WIN)
+        onehot = (local[:, None] == col_ids) & valid[:, None]  # (C, K)
+
+        # In-kernel unpack of the two payload words (bit layout:
+        # sort_raster.pack_payload_words). >> on i32 is arithmetic; the
+        # & masks make that equivalent to the XLA path's logical form.
+        w1 = word_buf[slot, 0, :]
+        w2 = word_buf[slot, 1, :]
+        road = ((w1 >> 25) & 1).astype(jnp.float32)
+        dyn = ((w1 >> 24) & 1).astype(jnp.float32)
+        inten = ((w2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0))
+        z2 = _f16_bits_to_f32((w2[None, :] >> 16) & 0xFFFF)   # (1, C)
+
+        # Per-group z-min via the segmented prefix-min scan (see _kernel).
+        s2 = local[None, :]
+        v2 = valid[None, :]
+        m2 = jnp.where(v2, z2, jnp.inf)
+        p2 = row_pos[None, :]
+        k = 1
+        while k < B:
+            same = (pltpu.roll(s2, shift=k, axis=1) == s2) & (p2 >= k)
+            m2 = jnp.where(same,
+                           jnp.minimum(m2, pltpu.roll(m2, shift=k, axis=1)),
+                           m2)
+            k *= 2
+        nxt = B - 1
+        vi = v2.astype(jnp.int32)
+        last = ((pltpu.roll(s2, shift=nxt, axis=1) != s2)
+                | (pltpu.roll(vi, shift=nxt, axis=1) == 0)
+                | (p2 == B - 1))
+        b2 = (v2 & last).astype(jnp.float32)               # (1, C)
+        minb = jnp.where(b2 > 0, m2, 0.0)
+
+        # Same sums matmul as _kernel (precision=HIGHEST: see its note on
+        # the bf16 truncation of the intensity row), lhs rows fixed:
+        # [ones, road, dyn, intensity, scan-min, boundary, 0, 0].
+        lhs = jnp.concatenate(
+            [jnp.ones((1, B), jnp.float32), road[None, :], dyn[None, :],
+             inten[None, :], minb, b2,
+             jnp.zeros((W_PAD - 6, B), jnp.float32)], axis=0)
+        acc = jax.lax.dot_general(
+            lhs, onehot.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (W_PAD, K)
+        sum_ref[0] += acc
+        min_ref[0, 0, :] = jnp.minimum(
+            min_ref[0, 0, :], jnp.where(acc[5] > 0.5, acc[4], jnp.inf))
+
+        if hist_ref is not None:
+            oh_b16 = onehot.astype(jnp.bfloat16)
+            for hi, shift in enumerate((16, 8, 0)):
+                val = (w1 >> shift) & 255                  # (B,) 0..255
+                vh = (bins == val[None, :]).astype(jnp.bfloat16)
+                h = jax.lax.dot_general(
+                    vh, oh_b16,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (N_BINS, K)
+                hist_ref[hi] += h
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    if med_ref is not None:
+        @pl.when(nchunks > 0)
+        def _finalize_meds():
+            lens = sum_ref[0, 0:1, :]                      # (1, K) counts
+            if med_nsplit == 2:
+                lens_full = lens + _lane_shift_left(lens)
+            for hi in range(n_med):
+                cum = _sublane_cumsum(hist_ref[hi])        # (N_BINS, K)
+                med_ref[0, hi, 0, :] = _median_ranks(cum, lens[0])
+                if med_nsplit == 2:
+                    cum_full = cum + _lane_shift_left(cum)
+                    med_ref[0, hi, 1, :] = _median_ranks(cum_full,
+                                                         lens_full[0])
+                else:
+                    med_ref[0, hi, 1, :] = jnp.zeros((WIN,), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('num_groups', 'interpret',
+                                             'hist_medians', 'med_nsplit',
+                                             'chunk', 'win'))
+def segmented_stats_words(sorted_c2, sorted_w1, sorted_w2, num_groups,
+                          interpret=False, hist_medians=True, med_nsplit=1,
+                          chunk=None, win=None):
+    """Per-group stats straight from the sorted packed payload words.
+
+    The fast form of segmented_stats for the raster's fixed payload
+    layout (sort_raster.pack_payload_words): the kernel unpacks road/dyn
+    flags, u16 intensity, f16-bit z, and the u8 rgb values in-VMEM, so
+    the XLA glue between the main sort and the kernel is just padding.
+
+    Args:
+      sorted_c2/w1/w2: (N,) int32 — the three operands of the main sort,
+        already sorted by c2 ascending (pad/sentinel key >= num_groups).
+      num_groups: static; multiple of the kernel window.
+      hist_medians: also compute exact per-group rgb medians in-kernel.
+      med_nsplit: 2 when groups interleave present/future (adds the
+        'full' pair-median channel, valid at even positions).
+
+    Returns (sums (num_groups, 4) [count, road, dyn, intensity], zmin
+    (num_groups,)[, meds (3, 2, num_groups) when hist_medians]).
+    Bit-identical to segmented_stats fed the XLA-unpacked rows (pinned
+    by tests/test_pallas_stats.py and on-chip by bench.py --selftest).
+    """
+    CHUNK_ = CHUNK if chunk is None else chunk
+    WIN_ = WIN if win is None else win
+    if num_groups % WIN_:
+        raise ValueError(f'num_groups ({num_groups}) must be a multiple '
+                         f'of the kernel window ({WIN_})')
+    num_windows = num_groups // WIN_
+    n = sorted_c2.shape[0]
+    slack = max(2 * CHUNK_, CHUNK_ + ALIGN)
+    n_pad = ((n + slack + CHUNK_ - 1) // CHUNK_) * CHUNK_
+    pad = n_pad - n
+    keys = jnp.pad(sorted_c2.astype(jnp.int32), (0, pad),
+                   constant_values=num_groups)[None, :]
+    words = jnp.stack([
+        jnp.pad(sorted_w1.astype(jnp.int32), (0, pad)),
+        jnp.pad(sorted_w2.astype(jnp.int32), (0, pad))])
+    ws, wl = window_boundaries(keys[0, :n], num_groups, win=WIN_)
+    n_med = 3 if hist_medians else 0
+
+    out_specs = [
+        pl.BlockSpec((1, W_PAD, WIN_), lambda w, *_: (w, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, WIN_), lambda w, *_: (w, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_windows, W_PAD, WIN_), jnp.float32),
+        jax.ShapeDtypeStruct((num_windows, 1, WIN_), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, 1, CHUNK_ + ALIGN), jnp.int32),
+        pltpu.VMEM((2, 2, CHUNK_ + ALIGN), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if n_med:
+        out_specs.append(
+            pl.BlockSpec((1, n_med, 2, WIN_), lambda w, *_: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_windows, n_med, 2, WIN_),
+                                 jnp.float32))
+        scratch_shapes.insert(0, pltpu.VMEM((n_med, N_BINS, WIN_),
+                                            jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_windows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_kernel_words, n_med=n_med,
+                          med_nsplit=med_nsplit if n_med else 0,
+                          CHUNK=CHUNK_, WIN=WIN_),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ws, wl, keys, words)
+    sums = jnp.transpose(outs[0], (0, 2, 1)).reshape(num_groups, W_PAD)
+    mins = outs[1].reshape(num_groups)
+    if not n_med:
+        return sums[:, :4], mins
+    meds = jnp.transpose(outs[2], (1, 2, 0, 3)).reshape(3, 2, num_groups)
+    return sums[:, :4], mins, meds
+
+
 def window_boundaries(sorted_keys_1d, num_groups, win=None):
     """Coarse per-window point ranges: one searchsorted with
     num_groups/WIN queries (vs per-group queries in the XLA path)."""

@@ -137,7 +137,8 @@ def pack_payload_words(road_f, dyn_f, rgb, int_road, z):
 
 def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
                                 rgb_fill=0, use_pallas=True,
-                                pallas_interpret=False, hist_medians=True):
+                                pallas_interpret=False, hist_medians=True,
+                                words_kernel=True):
     """Split stats from pre-packed payload words over a FLAT cell range.
 
     The tile form of the raster stats: ``n_cells`` is any cell count — a
@@ -170,22 +171,33 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
         sent_pad = ((sent + 511) // 512) * 512
         s_c2, s_packed, s_p2 = jax.lax.sort((c2, packed, packed2),
                                             num_keys=1)
-        s_z = jax.lax.bitcast_convert_type(
-            ((s_p2 >> 16) & 0xFFFF).astype(jnp.uint16),
-            jnp.float16).astype(jnp.float32)
-        s_int = (s_p2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
-        s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
-        s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
-        if hist_medians:
-            value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
-                          ((s_packed >> 8) & 255).astype(jnp.float32),
-                          (s_packed & 255).astype(jnp.float32)]
+        if words_kernel:
+            # Words form: the kernel unpacks the payload words in-VMEM —
+            # 12 B/row of kernel DMA instead of 36 and no XLA unpack/pad
+            # passes. Bit-identical to the unpacked form (same matmuls on
+            # the same values; tests/test_pallas_stats.py pins it, and
+            # bench.py --selftest gates it on the real chip).
+            st = pallas_stats.segmented_stats_words(
+                s_c2, s_packed, s_p2, sent_pad,
+                interpret=pallas_interpret, hist_medians=hist_medians,
+                med_nsplit=nsplit)
         else:
-            value_rows = ()
-        st = pallas_stats.segmented_stats(
-            s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z,
-            sent_pad, interpret=pallas_interpret, value_rows=value_rows,
-            med_nsplit=nsplit)
+            s_z = jax.lax.bitcast_convert_type(
+                ((s_p2 >> 16) & 0xFFFF).astype(jnp.uint16),
+                jnp.float16).astype(jnp.float32)
+            s_int = (s_p2 & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
+            s_road = ((s_packed >> 25) & 1).astype(jnp.float32)
+            s_dyn = ((s_packed >> 24) & 1).astype(jnp.float32)
+            if hist_medians:
+                value_rows = [((s_packed >> 16) & 255).astype(jnp.float32),
+                              ((s_packed >> 8) & 255).astype(jnp.float32),
+                              (s_packed & 255).astype(jnp.float32)]
+            else:
+                value_rows = ()
+            st = pallas_stats.segmented_stats(
+                s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z,
+                sent_pad, interpret=pallas_interpret, value_rows=value_rows,
+                med_nsplit=nsplit)
         sums, zmin = st[0][:sent], st[1][:sent]
         kmeds = st[2][:, :, :sent] if hist_medians else None
         lens = sums[:, 0]

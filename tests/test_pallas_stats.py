@@ -81,6 +81,79 @@ def test_sort_raster_pallas_matches_xla(rng):
                                        atol=2e-4, err_msg=k)
 
 
+def _packed_words_case(rng, n, n_cells, nsplit, occupied_frac=1.0,
+                       z_vals=None):
+    """Random (c2, word1, word2) triple in pack_payload_words layout."""
+    from pc_accumulation_lib_tpu.ops import sort_raster
+    sent = n_cells * nsplit
+    if occupied_frac < 1.0:
+        # Cluster occupancy so whole kernel windows stay empty (the words
+        # kernel gates its median finalize on that).
+        lo = int(sent * 0.4)
+        cells = rng.integers(lo, lo + max(2, int(sent * occupied_frac)),
+                             size=n)
+    else:
+        cells = rng.integers(0, sent, size=n)
+    c2 = np.where(rng.uniform(size=n) < 0.9, cells, sent).astype(np.int32)
+    road = (rng.uniform(size=n) < 0.5).astype(np.float32)
+    dyn = (rng.uniform(size=n) < 0.2).astype(np.float32)
+    rgb = rng.integers(0, 256, size=(n, 3)).astype(np.float32)
+    inten = rng.uniform(size=n).astype(np.float32) * road
+    if z_vals is None:
+        z = rng.normal(size=n).astype(np.float32) * 3.0
+    else:
+        z = np.resize(np.asarray(z_vals, np.float32), n)
+    w1, w2 = sort_raster.pack_payload_words(
+        jnp.asarray(road), jnp.asarray(dyn), jnp.asarray(rgb),
+        jnp.asarray(inten), jnp.asarray(z))
+    return jnp.asarray(c2), w1, w2
+
+
+@pytest.mark.parametrize('gen_future', [True, False])
+@pytest.mark.parametrize('occupied_frac', [1.0, 0.02])
+def test_words_kernel_matches_unpacked_kernel(rng, gen_future,
+                                              occupied_frac):
+    """The words form (in-kernel unpack + empty-window median gating)
+    must be BIT-identical to the XLA-unpacked kernel path on every
+    channel — same matmuls over the same values."""
+    from pc_accumulation_lib_tpu.ops import sort_raster
+    n_cells = 1024
+    nsplit = 2 if gen_future else 1
+    c2, w1, w2 = _packed_words_case(rng, 5000, n_cells, nsplit,
+                                    occupied_frac=occupied_frac)
+    kw = dict(n_cells=n_cells, gen_future=gen_future, rgb_fill=3,
+              use_pallas=True, pallas_interpret=True, hist_medians=True)
+    a = sort_raster.split_stats_from_words_flat(c2, w1, w2,
+                                                words_kernel=False, **kw)
+    b = sort_raster.split_stats_from_words_flat(c2, w1, w2,
+                                                words_kernel=True, **kw)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(b[k]), np.asarray(a[k]),
+                                      err_msg=k)
+
+
+def test_words_kernel_f16_z_decode_exact(rng):
+    """The kernel's arithmetic f16-bit decode must be exact for normals,
+    subnormals, zeros and negatives (elevation is the one f16-contract
+    channel)."""
+    from pc_accumulation_lib_tpu.ops import sort_raster
+    tricky = [0.0, -0.0, 1.0, -1.0, 5.9604645e-08, -5.9604645e-08,
+              6.0975552e-05, -6.0975552e-05, 3.0517578e-05, 65504.0,
+              -65504.0, 0.333251953125, -2.5, 1e-4, -1e-4, 1234.5]
+    n_cells = 512
+    c2, w1, w2 = _packed_words_case(rng, 4096, n_cells, 1,
+                                    z_vals=tricky)
+    kw = dict(n_cells=n_cells, gen_future=False, use_pallas=True,
+              pallas_interpret=True, hist_medians=True)
+    a = sort_raster.split_stats_from_words_flat(c2, w1, w2,
+                                                words_kernel=False, **kw)
+    b = sort_raster.split_stats_from_words_flat(c2, w1, w2,
+                                                words_kernel=True, **kw)
+    np.testing.assert_array_equal(np.asarray(b['elevation_present']),
+                                  np.asarray(a['elevation_present']))
+
+
 def test_hist_medians_match_sort_medians(rng):
     """hist_medians=True (in-kernel MXU value histograms) must reproduce
     the median sorts' rgb maps EXACTLY — integer order statistics both
