@@ -178,7 +178,7 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                 raise ValueError('compact_rungs must be positive')
             self._rungs = tuple(rungs) + (ccap,)
         self.transfer_dtype = transfer_dtype
-        if img_transfer not in (None, 'rgb8', 'yuv420'):
+        if img_transfer not in (None, 'rgb8', 'yuv420', 'yuv420h'):
             raise ValueError(f'img_transfer={img_transfer!r}')
         self.img_transfer = img_transfer or 'rgb8'
         self._fused = self._build_fused_step()
@@ -262,9 +262,9 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
                         ws, variables, pc_pad, valid, rgb_img, frame_id,
                         first):
             pc_pad = dequant(pc_pad)
-            if isinstance(rgb_img, tuple):  # yuv420 wire encoding
+            if isinstance(rgb_img, tuple):  # yuv420/yuv420h wire
                 from pc_accumulation_lib_tpu.ops import imgcodec
-                rgb_img = imgcodec.decode_yuv420(*rgb_img)
+                rgb_img = imgcodec.decode_wire(rgb_img)
             elif rgb_img.dtype == jnp.uint8:  # quantized transfer
                 rgb_img = rgb_img.astype(jnp.float32)
 
@@ -340,10 +340,11 @@ class Kitti360SemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
 
     def _prep_rgb(self, rgb):
         arr = np.asarray(rgb)[..., :3]
-        if self.img_transfer == 'yuv420':
+        if self.img_transfer in ('yuv420', 'yuv420h'):
             from pc_accumulation_lib_tpu.ops import imgcodec
-            y, uv = imgcodec.encode_yuv420(arr.astype(np.uint8))
-            return (jnp.asarray(y), jnp.asarray(uv))
+            enc = imgcodec.encode_wire(arr.astype(np.uint8),
+                                       self.img_transfer)
+            return tuple(jnp.asarray(p) for p in enc)
         if self.transfer_dtype == 'quantized':
             return jnp.asarray(arr.astype(np.uint8))
         return jnp.asarray(arr.astype(np.float32))

@@ -47,7 +47,7 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         quantization noise (covered by tests/test_pointpack.py)."""
         if use_gt_sem:
             raise NotImplementedError()
-        if img_transfer not in ('rgb8', 'yuv420'):
+        if img_transfer not in ('rgb8', 'yuv420', 'yuv420h'):
             raise ValueError(f'img_transfer={img_transfer!r}')
         if transfer_dtype not in ('float32', 'quantized'):
             raise ValueError(f'transfer_dtype={transfer_dtype!r}')
@@ -96,9 +96,9 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
             T_world = jnp.matmul(
                 T_world_prev, geometry.rigid_inverse(T_new_prev),
                 precision=jax.lax.Precision.HIGHEST)
-            if isinstance(imgs, tuple):  # yuv420 wire encoding
+            if isinstance(imgs, tuple):  # yuv420/yuv420h wire encoding
                 from pc_accumulation_lib_tpu.ops import imgcodec
-                imgs = imgcodec.decode_yuv420(*imgs)
+                imgs = imgcodec.decode_wire(imgs)
             elif imgs.dtype == jnp.uint8:  # quantized transfer
                 imgs = imgs.astype(jnp.float32)
             logits = model.model.apply(variables, imgs, train=False)
@@ -149,10 +149,10 @@ class NuScenesSemanticPointCloudAccumulator(SemanticPointCloudAccumulator):
         valid = np.arange(n_pad) < pc.shape[0]
         imgs = np.stack([np.asarray(im)[..., :3].astype(np.uint8)
                          for im in obs['images']])
-        if self.img_transfer == 'yuv420':
+        if self.img_transfer in ('yuv420', 'yuv420h'):
             from pc_accumulation_lib_tpu.ops import imgcodec
-            y, uv = imgcodec.encode_yuv420(imgs)
-            dev_imgs = (jnp.asarray(y), jnp.asarray(uv))
+            enc = imgcodec.encode_wire(imgs, self.img_transfer)
+            dev_imgs = tuple(jnp.asarray(p) for p in enc)
         else:
             dev_imgs = jnp.asarray(imgs)
         first = self._icp_prev_cloud is None

@@ -61,14 +61,17 @@ class NuScenesOracleSemanticPointCloudAccumulator(
         loading via the devkit map expansion.
 
         ``img_transfer``: camera wire encoding — 'rgb8' (u8, already 4x
-        fewer bytes than the reference's float32 GPU tensors) or 'yuv420'
+        fewer bytes than the reference's float32 GPU tensors), 'yuv420'
         (1.5 B/px, halves the oracle mode's dominant 6-camera upload;
-        NuScenes JPEGs are 4:2:0 at the source — see ops/imgcodec.py).
+        NuScenes JPEGs are 4:2:0 at the source) or 'yuv420h' (0.75 B/px:
+        4-bit-quantized 2x2 Haar luma + 4x4 chroma — a genuinely lossy
+        step, bounded and measured in tests/test_imgcodec.py; see
+        ops/imgcodec.py).
 
         ``transfer_dtype``: point wire encoding — 'float32' or 'quantized'
         (13 B/point vs 28; xyz at 5 mm fixed point, see accum/pointpack.py
         for the full envelope and loud range checks)."""
-        if img_transfer not in ('rgb8', 'yuv420'):
+        if img_transfer not in ('rgb8', 'yuv420', 'yuv420h'):
             raise ValueError(f'img_transfer={img_transfer!r}')
         if transfer_dtype not in ('float32', 'quantized'):
             raise ValueError(f'transfer_dtype={transfer_dtype!r}')
@@ -107,9 +110,9 @@ class NuScenesOracleSemanticPointCloudAccumulator(
             if pc_pad.dtype == jnp.uint8:  # quantized 13 B/point transfer
                 from pc_accumulation_lib_tpu.accum import pointpack
                 pc_pad = pointpack.unpack_points7(pc_pad, n_pad)
-            if isinstance(imgs, tuple):  # yuv420 wire encoding
+            if isinstance(imgs, tuple):  # yuv420/yuv420h wire encoding
                 from pc_accumulation_lib_tpu.ops import imgcodec
-                imgs = imgcodec.decode_yuv420(*imgs)
+                imgs = imgcodec.decode_wire(imgs)
             elif imgs.dtype == jnp.uint8:  # quantized transfer
                 imgs = imgs.astype(jnp.float32)
             logits = model.model.apply(variables, imgs, train=False)
@@ -165,10 +168,10 @@ class NuScenesOracleSemanticPointCloudAccumulator(
         # 'yuv420' halves that again (see ops/imgcodec.py).
         imgs = np.stack([np.asarray(im)[..., :3].astype(np.uint8)
                          for im in obs['images']])
-        if self.img_transfer == 'yuv420':
+        if self.img_transfer in ('yuv420', 'yuv420h'):
             from pc_accumulation_lib_tpu.ops import imgcodec
-            y, uv = imgcodec.encode_yuv420(imgs)
-            dev_imgs = (jnp.asarray(y), jnp.asarray(uv))
+            enc = imgcodec.encode_wire(imgs, self.img_transfer)
+            dev_imgs = tuple(jnp.asarray(p) for p in enc)
         else:
             dev_imgs = jnp.asarray(imgs)
         return OracleDeviceObs(obs, pc, jnp.asarray(pc_p),

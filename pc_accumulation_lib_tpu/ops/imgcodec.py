@@ -77,6 +77,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p]
             lib.imgenc_yuv420.restype = ctypes.c_int
+            try:
+                lib.imgenc_yuv420h.argtypes = [
+                    ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p]
+                lib.imgenc_yuv420h.restype = ctypes.c_int
+            except AttributeError:   # stale .so without the h kernel
+                pass
             _enc_lib = lib
         except Exception as e:  # toolchain-less host: numpy path
             # stderr: bench.py's stdout contract is ONE JSON line.
@@ -130,6 +138,149 @@ def encode_yuv420(rgb: np.ndarray):
     if rc != 0:
         raise RuntimeError(f'imgenc_yuv420 failed (rc={rc})')
     return y.reshape(lead + (h, w)), uv.reshape(lead + (h // 2, w // 2, 2))
+
+
+# --- yuv420h: one codec step beyond 4:2:0 ------------------------------
+# Luma as a 2x2 integer Haar transform — mean (LL) at u8 plus the three
+# detail coefficients quantized to 4 bits (uniform step 16 on the 2x sum
+# scale, clamp [-128, 112]) — and chroma at a 4x4 box mean. 0.75 B/pixel
+# vs 4:2:0's 1.5: the oracle NuScenes mode's 6x448x800 upload drops
+# 3.23 MB -> 1.61 MB per frame on a link where bytes are the wall
+# (PERF_NOTES frontier #5; reference equivalent: 6 serial full-res float32
+# GPU tensors, nuscenes_oracle_sem_pc_accum.py:461 + onnx_utils.py:35-41).
+#
+# Fidelity: smooth content reconstructs within the quantizer's +-8
+# half-step per coefficient (<= ~6.5 luma levels/pixel worst case); hard
+# 2x2 edges beyond +-128 (sum scale) clamp — a genuinely lossy, OPT-IN
+# wire encoding (img_transfer='yuv420h'), bounded and measured in
+# tests/test_imgcodec.py. Grayscale flats roundtrip within quantizer
+# rounding; the decode is exactly reproducible by the numpy oracle.
+
+_HQ_SHIFT = 4   # detail quantizer step = 1 << _HQ_SHIFT (on the 2x scale)
+
+
+def encode_yuv420h_np(rgb: np.ndarray):
+    """Reference encoder (integer numpy; the SPEC native imgenc_yuv420h
+    reproduces bit-for-bit). RGB u8 (..., H, W, 3) ->
+    (ll u8 (..., H/2, W/2), det u8 (..., 3, H/2, W/4) — the three
+    quantized Haar details, +8-biased nibbles packed [even col << 4 |
+    odd col] along width — and uv u8 (..., H/4, W/4, 2)). H, W must be
+    multiples of 4."""
+    rgb = np.asarray(rgb)
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    if h % 4 or w % 4:
+        raise ValueError(f'yuv420h needs H,W % 4 == 0, got {h}x{w}')
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y16 = 77 * r + 150 * g + 29 * b
+    y8 = ((y16 + 128) >> 8)                        # int32 [0, 255]
+    blk = y8.reshape(y8.shape[:-2] + (h // 2, 2, w // 2, 2))
+    y00, y01 = blk[..., 0, :, 0], blk[..., 0, :, 1]
+    y10, y11 = blk[..., 1, :, 0], blk[..., 1, :, 1]
+    ll = ((y00 + y01 + y10 + y11 + 2) >> 2).astype(np.uint8)
+    dh = y00 + y10 - y01 - y11                     # left - right (2x scale)
+    dv = y00 + y01 - y10 - y11                     # top - bottom
+    dd = y00 - y01 - y10 + y11                     # diagonal
+    d = np.stack([dh, dv, dd], axis=-3)            # (..., 3, H/2, W/2)
+    half = 1 << (_HQ_SHIFT - 1)
+    q = np.clip((d + half) >> _HQ_SHIFT, -8, 7) + 8
+    det = ((q[..., 0::2] << 4) | q[..., 1::2]).astype(np.uint8)
+    u16 = -43 * r - 85 * g + 128 * b + (128 << 8)
+    v16 = 128 * r - 107 * g - 21 * b + (128 << 8)
+    sh = u16.shape[:-2] + (h // 4, 4, w // 4, 4)
+    u4 = (u16.reshape(sh).sum(axis=(-3, -1)) + 2048) >> 12
+    v4 = (v16.reshape(sh).sum(axis=(-3, -1)) + 2048) >> 12
+    uv8 = np.clip(np.stack([u4, v4], axis=-1), 0, 255).astype(np.uint8)
+    return ll, det, uv8
+
+
+def encode_yuv420h(rgb: np.ndarray):
+    """Host-side yuv420h encode: native C++ kernel when buildable
+    (GIL-released), else the numpy reference — bit-identical either way."""
+    rgb = np.asarray(rgb)
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    if h % 4 or w % 4:
+        raise ValueError(f'yuv420h needs H,W % 4 == 0, got {h}x{w}')
+    lib = _load_native()
+    if lib is None or rgb.shape[-1] != 3 or not hasattr(lib,
+                                                        'imgenc_yuv420h'):
+        return encode_yuv420h_np(rgb)
+    lead = rgb.shape[:-3]
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    rgb_c = np.ascontiguousarray(rgb.reshape(n, h, w, 3))
+    ll = np.empty((n, h // 2, w // 2), np.uint8)
+    det = np.empty((n, 3, h // 2, w // 4), np.uint8)
+    uv = np.empty((n, h // 4, w // 4, 2), np.uint8)
+    rc = lib.imgenc_yuv420h(rgb_c.ctypes.data, n, h, w, ll.ctypes.data,
+                            det.ctypes.data, uv.ctypes.data)
+    if rc != 0:
+        raise RuntimeError(f'imgenc_yuv420h failed (rc={rc})')
+    return (ll.reshape(lead + (h // 2, w // 2)),
+            det.reshape(lead + (3, h // 2, w // 4)),
+            uv.reshape(lead + (h // 4, w // 4, 2)))
+
+
+def _decode_h(ll, det, uv, xp):
+    h2, w2 = ll.shape[-2], ll.shape[-1]
+    llf = ll.astype(xp.float32)
+    di = det.astype(xp.int32)
+    nib = xp.stack([(di >> 4) & 15, di & 15], axis=-1)  # (...,3,H2,W4,2)
+    d = ((nib.reshape(det.shape[:-1] + (w2,)) - 8)
+         .astype(xp.float32) * float(1 << _HQ_SHIFT))
+    dh = d[..., 0, :, :]
+    dv = d[..., 1, :, :]
+    dd = d[..., 2, :, :]
+    q00 = llf + 0.25 * (dh + dv + dd)
+    q01 = llf + 0.25 * (-dh + dv - dd)
+    q10 = llf + 0.25 * (dh - dv - dd)
+    q11 = llf + 0.25 * (-dh - dv + dd)
+    top = xp.stack([q00, q01], axis=-1)
+    bot = xp.stack([q10, q11], axis=-1)
+    blk = xp.stack([top, bot], axis=-2)           # (..., H2, W2, row, col)
+    y = xp.moveaxis(blk, -2, -3).reshape(ll.shape[:-2] + (2 * h2, 2 * w2))
+    y = xp.clip(y, 0.0, 255.0)
+    u = uv[..., 0].astype(xp.float32) - 128.0
+    v = uv[..., 1].astype(xp.float32) - 128.0
+    u = xp.repeat(xp.repeat(u, 4, axis=-1), 4, axis=-2)
+    v = xp.repeat(xp.repeat(v, 4, axis=-1), 4, axis=-2)
+    r = y + _VR * v
+    g = y - _UG * u - _VG * v
+    b = y + _UB * u
+    return xp.clip(xp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def decode_yuv420h(ll, det, uv):
+    """Device decode of the yuv420h wire triple -> RGB float32
+    (..., H, W, 3) in [0, 255] (same contract as decode_yuv420)."""
+    import jax.numpy as jnp
+    return _decode_h(ll, det, uv, jnp)
+
+
+def decode_yuv420h_np(ll, det, uv) -> np.ndarray:
+    """Numpy oracle for the yuv420h device decode."""
+    return _decode_h(np.asarray(ll), np.asarray(det), np.asarray(uv), np)
+
+
+def encode_wire(rgb: np.ndarray, kind: str):
+    """Encode an RGB u8 stack for the host->device wire: 'yuv420' ->
+    (y, uv) 2-tuple, 'yuv420h' -> (ll, det, uv) 3-tuple. The tuple arity
+    is the wire-format tag decode_wire dispatches on."""
+    if kind == 'yuv420':
+        return encode_yuv420(rgb)
+    if kind == 'yuv420h':
+        return encode_yuv420h(rgb)
+    raise ValueError(f'unknown image wire encoding {kind!r}')
+
+
+def decode_wire(parts):
+    """Device decode of an encoded wire tuple (see encode_wire) -> RGB
+    float32 (..., H, W, 3) in [0, 255]. Usable inside jit."""
+    if len(parts) == 2:
+        return decode_yuv420(*parts)
+    if len(parts) == 3:
+        return decode_yuv420h(*parts)
+    raise ValueError(f'unknown image wire tuple of arity {len(parts)}')
 
 
 def _decode(y, uv, xp):

@@ -92,6 +92,92 @@ def test_odd_dims_rejected():
         imgcodec.encode_yuv420(np.zeros((8, 9, 3), np.uint8))
 
 
+# --- yuv420h (4-bit Haar luma + 4x4 chroma, 0.75 B/px) -----------------
+
+
+def test_yuv420h_native_matches_numpy_spec_bit_exactly():
+    rng = _rng(21)
+    imgs = rng.integers(0, 256, size=(3, 12, 16, 3), dtype=np.uint8)
+    imgs[0, :4, :4] = (0, 0, 255)   # chroma clip edges
+    imgs[0, :4, 4:8] = (255, 0, 0)
+    imgs[1, :2, :2] = 255           # hard luma edge (detail clamp)
+    ref = imgcodec.encode_yuv420h_np(imgs)
+    got = imgcodec.encode_yuv420h(imgs)   # native when buildable
+    for a, b, nm in zip(ref, got, ('ll', 'det', 'uv')):
+        np.testing.assert_array_equal(b, a, err_msg=nm)
+    # 2-D (single image) shape path.
+    one = imgcodec.encode_yuv420h(imgs[1])
+    for a, b in zip(one, ref):
+        np.testing.assert_array_equal(a, b[1])
+
+
+def test_yuv420h_device_decode_matches_numpy_oracle():
+    rgb = _rng(22).integers(0, 256, size=(2, 8, 16, 3), dtype=np.uint8)
+    ll, det, uv = imgcodec.encode_yuv420h(rgb)
+    assert ll.shape == (2, 4, 8) and det.shape == (2, 3, 4, 4)
+    assert uv.shape == (2, 2, 4, 2)
+    # 0.75 B/px wire total.
+    assert ll.nbytes + det.nbytes + uv.nbytes == 2 * 8 * 16 * 3 // 4
+    ref = imgcodec.decode_yuv420h_np(ll, det, uv)
+    dev = np.asarray(imgcodec.decode_yuv420h(ll, det, uv))
+    np.testing.assert_allclose(dev, ref, atol=1e-3)
+
+
+def test_yuv420h_flat_blocks_roundtrip_exactly():
+    # Constant 4x4 blocks: Haar details are 0 and chroma means lossless,
+    # so only the u8 Y/U/V rounding remains (<= ~2 in RGB).
+    rng = _rng(23)
+    small = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    rgb = np.repeat(np.repeat(small, 4, axis=0), 4, axis=1)
+    out = imgcodec.decode_yuv420h_np(*imgcodec.encode_yuv420h_np(rgb))
+    assert np.max(np.abs(out - rgb.astype(np.float32))) <= 2.0
+
+
+def test_yuv420h_smooth_gradient_error_bound():
+    # Camera-like smooth content: the 4-bit quantizer's half-step error
+    # dominates (<= 8 on the 2x sum scale -> <= ~6.5 luma/pixel) plus the
+    # coarser chroma.
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.stack([yy * 3 + 20, xx * 2 + 40, (yy + xx) * 1.5],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    out = imgcodec.decode_yuv420h_np(*imgcodec.encode_yuv420h_np(rgb))
+    assert np.max(np.abs(out - rgb.astype(np.float32))) <= 8.0
+    assert np.mean(np.abs(out - rgb.astype(np.float32))) <= 2.5
+
+
+def test_yuv420h_luma_edge_clamps_boundedly():
+    # A full-swing 2x2 luma edge exceeds the 4-bit detail range: the
+    # reconstruction must stay between the two sides (pulled toward the
+    # block mean), never ring outside [min, max] of the block.
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[:, 4:] = 255
+    out = imgcodec.decode_yuv420h_np(*imgcodec.encode_yuv420h_np(rgb))
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    # Columns away from the edge are flat blocks -> near-exact.
+    assert np.max(np.abs(out[:, :2] - 0.0)) <= 2.0
+    assert np.max(np.abs(out[:, 6:] - 255.0)) <= 2.0
+
+
+def test_yuv420h_dims_rejected():
+    with pytest.raises(ValueError):
+        imgcodec.encode_yuv420h(np.zeros((6, 8, 3), np.uint8))
+    with pytest.raises(ValueError):
+        imgcodec.encode_yuv420h(np.zeros((8, 10, 3), np.uint8))
+
+
+def test_wire_dispatch_helpers():
+    rgb = _rng(24).integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    for kind in ('yuv420', 'yuv420h'):
+        parts = imgcodec.encode_wire(rgb, kind)
+        out = np.asarray(imgcodec.decode_wire(parts))
+        assert out.shape == (8, 16, 3)
+    with pytest.raises(ValueError):
+        imgcodec.encode_wire(rgb, 'jpeg')
+    with pytest.raises(ValueError):
+        imgcodec.decode_wire((rgb,))
+
+
 def _kitti_accum(img_transfer, seed=0):
     from pc_accumulation_lib_tpu import config as cfg
     from pc_accumulation_lib_tpu.accum.kitti360 import (
@@ -187,6 +273,21 @@ def test_luma_preserved_even_on_noise():
     err = np.abs(luma(out) - luma(rgb.astype(np.float32)))
     assert np.quantile(err, 0.99) <= 3.0
     assert err.mean() <= 1.0
+
+
+def test_kitti_yuv420h_painted_colors_bounded_on_color_frames():
+    # The 0.75 B/px codec end-to-end through the fused KITTI step: painted
+    # geometry identical, colors bounded on smooth (camera-like) frames.
+    frames = _synthetic_obs(2, gray=False, seed=3)
+    a = _kitti_accum('rgb8')
+    b = _kitti_accum('yuv420h')
+    a.integrate(frames)
+    b.integrate(frames)
+    pa = np.asarray(a.state.points)[np.asarray(a.state.valid)]
+    pb = np.asarray(b.state.points)[np.asarray(b.state.valid)]
+    assert pa.shape[0] == pb.shape[0] > 0
+    np.testing.assert_allclose(pa[:, :4], pb[:, :4], atol=1e-5)
+    assert np.mean(np.abs(pa[:, 4:7] - pb[:, 4:7])) < 6.0
 
 
 def test_oracle_yuv420_matches_rgb8_on_grayscale():
