@@ -97,6 +97,8 @@ class NuScenesOracleSemanticPointCloudAccumulator(
             self.gt_lane_poses = get_centerlines(dataroot, loc)
         self.img_transfer = img_transfer
         self.transfer_dtype = transfer_dtype
+        self.upload_bytes_total = 0   # host->device obs wire telemetry
+        self.upload_frames = 0        # (bench oracle upload-floor line)
         self._fused = self._build_fused_step()
 
     def _build_fused_step(self):
@@ -174,6 +176,10 @@ class NuScenesOracleSemanticPointCloudAccumulator(
             dev_imgs = tuple(jnp.asarray(p) for p in enc)
         else:
             dev_imgs = jnp.asarray(imgs)
+        img_parts = dev_imgs if isinstance(dev_imgs, tuple) else (dev_imgs,)
+        self.upload_bytes_total += (pc_p.nbytes + ci_p.nbytes + valid.size
+                                    + sum(int(p.nbytes) for p in img_parts))
+        self.upload_frames += 1
         return OracleDeviceObs(obs, pc, jnp.asarray(pc_p),
                                jnp.asarray(valid), jnp.asarray(ci_p),
                                dev_imgs)
