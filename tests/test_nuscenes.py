@@ -199,6 +199,42 @@ def test_nuscenes_icp_quantized_transfer_matches_float32():
     assert same > 0.995
 
 
+def test_nuscenes_icp_yuv420h_image_transfer_runs():
+    """img_transfer='yuv420h' (0.75 B/px camera wire codec) through the
+    estimated-pose NuScenes path: geometry/poses must match the rgb8 run
+    (the codec touches colors only) and painted colors stay bounded on
+    the synthetic stream's smooth gradient images."""
+    stream = SyntheticNuScenesStream(n_frames=4, step=2.0, lidar_range=25.0,
+                                     seed=5)
+    obs_list = [o for batch in stream for o in batch]
+    model = SemSegTPU(seed=0, stage_sizes=(1, 1, 1, 1))
+
+    def make(img_transfer):
+        return NuScenesSemanticPointCloudAccumulator(
+            horizon_dist=100.0, icp_threshold=1e3, semseg_model=model,
+            bev_params=BEV_PARAMS, loc='synth-map', accum_cfg=ACCUM_CFG,
+            icp_cfg=cfg.ICPConfig(max_downsampled=2048, num_iters=16),
+            seed=0, img_transfer=img_transfer)
+
+    a, b = make('rgb8'), make('yuv420h')
+    for obs in obs_list:
+        a.integrate([obs])
+        b.integrate([obs])
+    # Ego-motion is color-independent (ICP registers geometry).
+    np.testing.assert_allclose(np.asarray(a.get_pose()),
+                               np.asarray(b.get_pose()), atol=1e-4)
+    # The lossy codec may flip a few semseg argmax classes (random-weight
+    # test model), changing the class-filtered point set slightly — the
+    # populations must stay near-identical, and the painted colors close
+    # in distribution (the codec touches colors only).
+    na = int(np.asarray(a.state.valid).sum())
+    nb = int(np.asarray(b.state.valid).sum())
+    assert na > 0 and abs(na - nb) <= 0.03 * na
+    qa = np.asarray(a.state.points)[np.asarray(a.state.valid)]
+    qb = np.asarray(b.state.points)[np.asarray(b.state.valid)]
+    assert np.abs(qa[:, 4:7].mean(0) - qb[:, 4:7].mean(0)).max() < 8.0
+
+
 def test_nuscenes_icp_rejects_bad_transfer_dtype():
     with pytest.raises(ValueError):
         NuScenesSemanticPointCloudAccumulator(
