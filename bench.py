@@ -149,10 +149,12 @@ def bench_nuscenes_oracle():
                         fetch_dtype='sparse'),
         loc='synth', accum_cfg=accum_cfg, seed=0,
         # The oracle mode's wall is the upload: 6 cameras (~6.5 MB/frame
-        # u8 — YUV 4:2:0 halves it; NuScenes JPEGs are 4:2:0 at the
-        # source) + the padded f32 point rows (~1.75 MB — the 13 B/point
-        # pack cuts 2.15x). BENCH_IMG_TRANSFER/BENCH_PC_TRANSFER A/B.
-        img_transfer=os.environ.get('BENCH_IMG_TRANSFER', 'yuv420'),
+        # u8; YUV 4:2:0 halves it, and the 4-bit-Haar-luma 'yuv420h'
+        # halves that again to 1.61 MB — measured running at ~0.95x the
+        # wire floor, median 16.9 on a ~49 MB/s link) + the 13 B/point
+        # pack (2.15x under f32). BENCH_IMG_TRANSFER/BENCH_PC_TRANSFER
+        # A/B (yuv420 = the lossless-er control).
+        img_transfer=os.environ.get('BENCH_IMG_TRANSFER', 'yuv420h'),
         transfer_dtype=os.environ.get('BENCH_PC_TRANSFER', 'quantized'))
     frames = [stream.frame(i) for i in range(n_frames)]
     for i in range(4):
