@@ -149,7 +149,13 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
 
     ``use_pallas``: the 1-key sort + segmented-stats kernel path. The
     group count is padded up to the kernel's 512-group window and the
-    pad groups sliced off afterwards. Sentinel rows (key == ``sent``)
+    pad groups sliced off afterwards. ``words_kernel`` (default) feeds
+    the sorted payload words straight to the words-form kernel
+    (pallas_stats.segmented_stats_words: in-kernel unpack, 12 B/row DMA,
+    empty-window median gating); False keeps the XLA-unpack +
+    segmented_stats form — bit-identical outputs, kept for A/B
+    (tools/profile_raster_wall.py measured the words form ~2.7 ms/raster
+    faster e2e at 860k rows). Sentinel rows (key == ``sent``)
     sort to the tail; when ``sent`` is already a multiple of 512 (all
     bench-shaped configs) there are no pad groups and the sentinels are
     excluded because window_boundaries' searchsorted never reaches the

@@ -280,10 +280,11 @@ def main(argv=None):
     parser.add_argument('--icp_threshold', type=float, default=1e3)
     parser.add_argument('--no_viz', action='store_true')
     # Camera-image wire encoding for remote-TPU links (ops/imgcodec.py):
-    # 'yuv420' halves the image upload bytes (lossy by chroma quantization
-    # only; grayscale exact).
+    # 'yuv420' halves the image upload bytes (lossy by chroma
+    # quantization only; grayscale exact); 'yuv420h' halves it again
+    # (4-bit Haar luma + 4x4 chroma — ops/imgcodec.py).
     parser.add_argument('--img_transfer', type=str, default='rgb8',
-                        choices=('rgb8', 'yuv420'))
+                        choices=('rgb8', 'yuv420', 'yuv420h'))
     # Point wire encoding: packed 7 B/point upload (5 mm fixed point;
     # accum/kitti360.py _pad_pc) vs float32 rows.
     parser.add_argument('--pc_transfer', type=str, default='float32',

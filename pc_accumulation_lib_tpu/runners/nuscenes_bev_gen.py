@@ -257,10 +257,11 @@ def main(argv=None):
     parser.add_argument('--manifest', type=str, default=None)
     parser.add_argument('--shard_idx', type=int, default=0)
     parser.add_argument('--num_shards', type=int, default=1)
-    # Camera wire encoding ('yuv420' halves the 6-camera upload bytes;
-    # NuScenes JPEGs are 4:2:0 at the source — ops/imgcodec.py).
+    # Camera wire encoding ('yuv420' halves the 6-camera upload bytes —
+    # NuScenes JPEGs are 4:2:0 at the source; 'yuv420h' halves it again
+    # with 4-bit Haar luma + 4x4 chroma — ops/imgcodec.py).
     parser.add_argument('--img_transfer', type=str, default='rgb8',
-                        choices=('rgb8', 'yuv420'))
+                        choices=('rgb8', 'yuv420', 'yuv420h'))
     # Point wire encoding (oracle path): 13 B/point pack vs f32 rows
     # (accum/pointpack.py).
     parser.add_argument('--pc_transfer', type=str, default='float32',
