@@ -440,10 +440,14 @@ def main(classic: bool = False):
         40.0, calib, 1e3, model, cfg.DEFAULT_SEMSEG_FILTERS,
         cfg.DEFAULT_SEM_IDXS, False, bev_params, accum_cfg=accum_cfg,
         icp_cfg=icp_cfg, seed=0, transfer_dtype='quantized',
-        # YUV 4:2:0 camera upload (ops/imgcodec.py): the 376x1408 image is
-        # ~65% of the 2.44 MB/frame upload; 4:2:0 halves its wire bytes.
-        # BENCH_IMG_TRANSFER=rgb8 for the lossless-wire A/B.
-        img_transfer=os.environ.get('BENCH_IMG_TRANSFER', 'yuv420'))
+        # yuv420h camera upload (ops/imgcodec.py, 0.75 B/px): the 376x1408
+        # image dominates the per-frame upload; at 1.45 MB/frame the bev1
+        # three-way pipeline measured AT its wire floor (ratio 0.993 —
+        # with 4:2:0's 1.84 MB the dispatch control rounds serialized
+        # against the in-flight upload, ratio 0.60-0.66). Headline same-
+        # run median 115.8. BENCH_IMG_TRANSFER=yuv420|rgb8 for the
+        # fidelity-first controls.
+        img_transfer=os.environ.get('BENCH_IMG_TRANSFER', 'yuv420h'))
     # Sparse-fetch sizing policy A/B (bev/sem_bev.py): 'exact' sizes each
     # group's value copy from the per-sample occupancy block copied at
     # dispatch; 'hint' is the legacy trailing step-max estimator
