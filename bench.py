@@ -454,6 +454,12 @@ def main(classic: bool = False):
     # (~36% wire overshoot measured).
     accum.sem_bev_generator.fetch_sizing = os.environ.get(
         'BENCH_FETCH_SIZING', 'exact')
+    # Compacted-group raster A/B (ops/sort_raster compact_groups — the
+    # stats kernel over occupied-cell ranks; default auto=on for the
+    # sparse prepped path). BENCH_RASTER_COMPACT=0 keeps the dense-group
+    # control.
+    if os.environ.get('BENCH_RASTER_COMPACT', '1') == '0':
+        accum.sem_bev_generator.raster_compact = False
 
     frames = [stream.frame(i)
               for i in range(n_frames + retry_frames + bev1_frames)]

@@ -219,7 +219,13 @@ def make_raster_fn(view_size, pixel_size, sem_idxs, int_scaler,
 def _emit_outputs(chs, meta, pack, params, P, view_size, int_scaler,
                   int_sep_scaler, int_mid_threshold, sparse_cap):
     """Shared raster tail: channel-dict -> transfer encoding (stack +
-    optional device warp + road-marking finalize + sparse pack)."""
+    optional device warp + road-marking finalize + sparse pack).
+
+    When ``chs`` carries 'cell_of_rank' the maps are RANK-indexed
+    (compacted-group raster, ops/sort_raster.split_stats_from_packed) —
+    legal only under pack='sparse', where every downstream op until the
+    pack is elementwise and the pack itself re-keys to cell space."""
+    cell_of_rank = chs.get('cell_of_rank')
     stack = []
     for name in meta:
         stack += [chs[f'road_{name}'], chs[f'intensity_{name}'],
@@ -242,7 +248,8 @@ def _emit_outputs(chs, meta, pack, params, P, view_size, int_scaler,
     if pack != 'sparse':
         return dense
     counts = maps[len(meta) * len(_SPLIT_CHANNELS):]
-    return sparse_outputs(dense, counts, P, sparse_cap, len(meta))
+    return sparse_outputs(dense, counts, P, sparse_cap, len(meta),
+                          cell_of_rank=cell_of_rank)
 
 
 def make_prep_fn(sem_idxs):
@@ -291,12 +298,20 @@ def make_prep_fn(sem_idxs):
 def _make_prepped_raster_body(view_size, pixel_size, int_scaler,
                               int_sep_scaler, int_mid_threshold, rgb_fill=0,
                               pack=None, sparse_cap=None, hist_medians=True,
-                              pallas_interpret=False):
+                              pallas_interpret=False, compact_groups=False):
     """Unjitted body shared by make_prepped_raster_fn (per-sample jit)
-    and make_prepped_raster_group_fn (lax.scan over a fetch group)."""
+    and make_prepped_raster_group_fn (lax.scan over a fetch group).
+
+    ``compact_groups``: rank-compact the stats kernel's group space
+    (ops/sort_raster.split_stats_from_words_flat — ~1 ms/raster at bench
+    occupancy, sparse wire bytes identical). Sparse-pack only: the dense
+    stack form needs cell-space maps."""
     P = pixel_size
     if sparse_cap is None:
         sparse_cap = default_sparse_cap(P)
+    if compact_groups and pack != 'sparse':
+        raise ValueError("compact_groups requires pack='sparse' (dense "
+                         'outputs need cell-space maps)')
 
     def raster(ref_xyz, valid, pt_frame_ids, packed, packed2, pv_aug,
                gen_future):
@@ -323,7 +338,8 @@ def _make_prepped_raster_body(view_size, pixel_size, int_scaler,
         from pc_accumulation_lib_tpu.ops import sort_raster
         chs = sort_raster.split_stats_from_packed(
             c2, packed, packed2, P, gen_future, rgb_fill=rgb_fill,
-            pallas_interpret=pallas_interpret, hist_medians=hist_medians)
+            pallas_interpret=pallas_interpret, hist_medians=hist_medians,
+            compact_groups=compact_groups)
         meta = ['present', 'future', 'full'] if gen_future else ['present']
         return _emit_outputs(chs, meta, pack, params, P, view_size,
                              int_scaler, int_sep_scaler, int_mid_threshold,
@@ -391,7 +407,8 @@ def finalize_dense(maps, n_splits, int_scaler, int_sep_scaler,
     return jnp.stack(final).astype(jnp.float16)
 
 
-def sparse_outputs(dense, counts, P, sparse_cap, n_splits):
+def sparse_outputs(dense, counts, P, sparse_cap, n_splits,
+                   cell_of_rank=None):
     """(sparse_u8, dense_fallback_u8) transfer encodings of a finalized
     (S*7,P,P) f16 stack + (S,P,P) counts. Byte-packs each cell's 7
     channels into two int32 words ONCE: the sparse compaction then
@@ -399,11 +416,25 @@ def sparse_outputs(dense, counts, P, sparse_cap, n_splits):
     ~1e8 elem/s on TPU — they were the bulk of the pack cost), and the
     dense overflow fallback is the same words bitcast flat (no separate
     quantize dispatch). Shared by the single-chip (make_raster_fn) and
-    mesh-sharded (parallel/sharded.py) rasters."""
+    mesh-sharded (parallel/sharded.py) rasters.
+
+    ``cell_of_rank`` (compacted-group raster): the inputs are
+    RANK-indexed. Rank order is ascending-cell order, so the sparse
+    buffer comes out byte-identical to the cell-space form; the dense
+    overflow fallback ships rank-space words PREFIXED with the
+    cell_of_rank table (one i32/cell) and decode_dense_words scatters it
+    back to cell space host-side — a device scatter here would cost more
+    than the compaction saves, and the fallback is only ever fetched on
+    sparse-cap overflow."""
     caps = resolve_sparse_caps(sparse_cap)[:n_splits]
     words = _pack_channel_words(dense, n_splits, P * P)
-    return (_pack_sparse(words, counts, P, caps, n_splits),
-            jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1))
+    fb = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
+    if cell_of_rank is not None:
+        fb = jnp.concatenate([
+            jax.lax.bitcast_convert_type(cell_of_rank,
+                                         jnp.uint8).reshape(-1), fb])
+    return (_pack_sparse(words, counts, P, caps, n_splits,
+                         cell_of_rank=cell_of_rank), fb)
 
 
 def resolve_sparse_caps(cap):
@@ -462,9 +493,16 @@ def sparse_used_bytes(raw, pixel_size: int, gen_future: bool) -> int:
             + 8 * int(noccs.sum()))
 
 
-def _pack_sparse(words, counts, P, caps, S):
+def _pack_sparse(words, counts, P, caps, S, cell_of_rank=None):
     """Device-side sparse packing: (S, P*P, 2) int32 packed channel words
     + (S,P,P) counts -> flat uint8 buffer.
+
+    ``cell_of_rank`` (compacted-group raster): words/counts are
+    RANK-indexed. The occupied-row selection runs in rank space unchanged
+    (rank order == ascending cell order, so the value sections are
+    byte-identical), and only the header's occupancy BITMASKS need cell
+    space — one sorted 65k-index u8 scatter per mask (measured at the
+    noise floor, tools/profile_compact_extras.py).
 
     Layout for S==1: [mask (P*P/8) | n_occ i32 + pad to 16 B | present
     values (n_occ rows x 8 B, in a (caps[0],8) region)].
@@ -522,7 +560,18 @@ def _pack_sparse(words, counts, P, caps, S):
                                               (noccs[0], 0))
         region = jax.lax.dynamic_update_slice(region, gathered[2],
                                               (noccs[0] + noccs[1], 0))
-    masks = [(occs[s].reshape(-1, 8).astype(jnp.uint8)
+    def cell_space(occ):
+        if cell_of_rank is None:
+            return occ
+        # Dead ranks (occ False there by construction) pile onto the
+        # clip slot n_cells; scatter-add keeps duplicate zero writes
+        # exact and the sorted hint keeps it at vector speed.
+        m = jnp.zeros((n_cells + 1,), jnp.uint8).at[
+            jnp.clip(cell_of_rank, 0, n_cells)].add(
+            occ.astype(jnp.uint8), indices_are_sorted=True)
+        return m[:n_cells] > 0
+
+    masks = [(cell_space(occs[s]).reshape(-1, 8).astype(jnp.uint8)
               * bit_w).sum(axis=1).astype(jnp.uint8) for s in mask_splits]
     nb = jax.lax.bitcast_convert_type(jnp.stack(noccs),
                                       jnp.uint8).reshape(-1)
@@ -628,10 +677,33 @@ def decode_dense_words(raw, gen_future, pixel_size):
     flat uint8 view of _pack_channel_words -> (S*7, P, P) float16 stack
     (unpack_maps layout). Same 8 bytes/cell as the 'quantized' encoding,
     but cell-interleaved so the device builds it once for both the sparse
-    pack and the fallback."""
+    pack and the fallback.
+
+    Two layouts, told apart by length: plain cell-space (S*P*P*8 bytes)
+    and the compacted-group raster's rank-space form (a 4*P*P
+    cell_of_rank i32 table + S*P*P*8 rank-indexed rows — see
+    sparse_outputs), scattered back to cell space here. The scatter runs
+    host-side on purpose: the fallback is fetched only on sparse-cap
+    overflow, and a per-raster device scatter would cost more than the
+    group compaction saves."""
     S = 3 if gen_future else 1
     P = pixel_size
-    v = np.ascontiguousarray(raw).reshape(S, P * P, 8)
+    n_cells = P * P
+    raw = np.ascontiguousarray(raw)
+    if raw.shape[0] == 4 * n_cells + S * n_cells * 8:
+        cor = raw[:4 * n_cells].view(np.int32)
+        v = raw[4 * n_cells:].reshape(S, n_cells, 8)
+        live = cor < n_cells
+        full = np.empty_like(v)
+        if not live.all():
+            # Dead ranks hold exactly the empty-cell constant row (their
+            # stats finalize from zero counts) — any one of them is the
+            # fill for uncovered cells.
+            full[:] = v[:, ~live][:, :1]
+        full[:, cor[live]] = v[:, live]
+        v = full
+    else:
+        v = raw.reshape(S, n_cells, 8)
     ch = _DEQUANT_LUT[v[:, :, :6]]                       # (S, n, 6) f16
     elev = np.ascontiguousarray(v[:, :, 6:8]).view(np.float16)[..., 0]
     stack = np.concatenate([np.transpose(ch, (0, 2, 1)), elev[:, None]],

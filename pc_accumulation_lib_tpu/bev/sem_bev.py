@@ -216,6 +216,13 @@ class SemBEVGenerator:
         self._prep_fn = None
         self._raster_prepped = None
         self._raster_prepped_group = None
+        # Compacted-group raster (ops/sort_raster compact_groups): the
+        # stats kernel runs over occupied-cell RANKS instead of the dense
+        # cell space (~1 ms/raster at bench occupancy, PERF_NOTES round 5;
+        # sparse wire bytes identical, dense overflow fallback ships a
+        # cell_of_rank prefix). None = auto: on wherever the prepped
+        # sparse path applies. Set before the first raster dispatch.
+        self.raster_compact: Optional[bool] = None
         # Escape hatch: force per-sample dispatch even where the grouped
         # lax.scan path applies (tests pin grouped == per-sample).
         self._force_ungrouped_dispatch = False
@@ -250,6 +257,12 @@ class SemBEVGenerator:
             self._prep_fn = core.make_prep_fn(self.sem_idxs)
         return self._prep_fn(points, inst_dyn, pose_vec)
 
+    @property
+    def _compact_groups(self) -> bool:
+        if self.raster_compact is not None:
+            return bool(self.raster_compact) and self.fetch_dtype == 'sparse'
+        return self.fetch_dtype == 'sparse'
+
     def _get_prepped_raster(self):
         if self._raster_prepped is None:
             self._raster_prepped = core.make_prepped_raster_fn(
@@ -257,7 +270,8 @@ class SemBEVGenerator:
                 self.int_sep_scaler, self.int_mid_threshold, self.rgb_fill,
                 pack='sparse' if self.fetch_dtype == 'sparse' else None,
                 sparse_cap=self.sparse_cap,
-                pallas_interpret=self._prep_interpret)
+                pallas_interpret=self._prep_interpret,
+                compact_groups=self._compact_groups)
         return self._raster_prepped
 
     def _get_prepped_raster_group(self):
@@ -270,7 +284,8 @@ class SemBEVGenerator:
                 self.int_sep_scaler, self.int_mid_threshold, self.rgb_fill,
                 pack='sparse' if self.fetch_dtype == 'sparse' else None,
                 sparse_cap=self.sparse_cap,
-                pallas_interpret=self._prep_interpret)
+                pallas_interpret=self._prep_interpret,
+                compact_groups=self._compact_groups)
         return self._raster_prepped_group
 
     # ------------------------------------------------------------------

@@ -138,7 +138,7 @@ def pack_payload_words(road_f, dyn_f, rgb, int_road, z):
 def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
                                 rgb_fill=0, use_pallas=True,
                                 pallas_interpret=False, hist_medians=True,
-                                words_kernel=True):
+                                words_kernel=True, compact_groups=False):
     """Split stats from pre-packed payload words over a FLAT cell range.
 
     The tile form of the raster stats: ``n_cells`` is any cell count — a
@@ -168,15 +168,46 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
     (exact — the shipped elevation channel is f16 anyway); intensity is
     the u16 payload (~2e-5 on per-cell means, inside the 2e-3 on-chip
     parity gate even after the road-marking sigmoid gain).
+
+    ``compact_groups`` (Pallas + hist_medians only): rank-compact the
+    kernel's group space. The stats kernel's remaining per-raster fixed
+    cost scales with the GROUP space while raster occupancy is sparse
+    (bench: ~7.7k occupied of 65536 cells), so groups are renumbered by
+    occupied-cell RANK (cumsum of cell-head flags over the already-sorted
+    keys — rank is monotone in cell id, no re-sort) as
+    g = rank*nsplit + is_future: every point lands in the first
+    ~nsplit*union groups and the kernel's empty-window gate skips the
+    rest (measured ~1.0 ms/raster at bench occupancy,
+    tools/profile_compact_extras.py). The group cap stays ``sent`` — rank
+    space can never exceed it, so there is no overflow/redo path. Rank
+    order IS ascending-cell order, so stats come back RANK-indexed with
+    the same pack layout; the returned dict carries an extra
+    ``cell_of_rank`` (n_cells,) int32 (sentinel ``n_cells`` for dead
+    ranks) that bev/core scatters back to cell space where needed (the
+    sparse wire bytes are identical either way; see core._pack_sparse).
     """
     nsplit = 2 if gen_future else 1
     sent = n_cells * nsplit
+    compact = bool(compact_groups) and use_pallas and hist_medians
 
     if use_pallas:
         from pc_accumulation_lib_tpu.ops import pallas_stats
         sent_pad = ((sent + 511) // 512) * 512
         s_c2, s_packed, s_p2 = jax.lax.sort((c2, packed, packed2),
                                             num_keys=1)
+        cell_of_rank = None
+        g = s_c2
+        if compact:
+            cell_s = s_c2 // nsplit          # sentinel -> n_cells
+            head = jnp.concatenate([
+                jnp.ones((1,), jnp.int32),
+                (cell_s[1:] != cell_s[:-1]).astype(jnp.int32)])
+            rank = jnp.cumsum(head) - 1
+            # Sentinels get key == sent_pad: past every kernel window's
+            # searchsorted query, so they are never accumulated (even
+            # when sent % 512 != 0).
+            g = jnp.where(s_c2 < sent, rank * nsplit + s_c2 % nsplit,
+                          sent_pad)
         if words_kernel:
             # Words form: the kernel unpacks the payload words in-VMEM —
             # 12 B/row of kernel DMA instead of 36 and no XLA unpack/pad
@@ -184,7 +215,7 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
             # the same values; tests/test_pallas_stats.py pins it, and
             # bench.py --selftest gates it on the real chip).
             st = pallas_stats.segmented_stats_words(
-                s_c2, s_packed, s_p2, sent_pad,
+                g, s_packed, s_p2, sent_pad,
                 interpret=pallas_interpret, hist_medians=hist_medians,
                 med_nsplit=nsplit)
         else:
@@ -201,7 +232,7 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
             else:
                 value_rows = ()
             st = pallas_stats.segmented_stats(
-                s_c2, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z,
+                g, [jnp.ones_like(s_road), s_road, s_dyn, s_int], s_z,
                 sent_pad, interpret=pallas_interpret, value_rows=value_rows,
                 med_nsplit=nsplit)
         sums, zmin = st[0][:sent], st[1][:sent]
@@ -209,6 +240,17 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
         lens = sums[:, 0]
         road_c, dyn_c, int_s = sums[:, 1], sums[:, 2], sums[:, 3]
         zmin = jnp.where(lens > 0, zmin, jnp.inf)
+
+        if compact:
+            # cell id of each rank: the sorted keys at each rank-group
+            # start (a 65k gather — measured at the noise floor). Dead
+            # ranks (no points in either split) get sentinel n_cells.
+            grp = lens.astype(jnp.int32).reshape(n_cells, nsplit).sum(-1)
+            ends_r = jnp.cumsum(grp)
+            n_total = s_c2.shape[0]
+            starts_r = jnp.clip(ends_r - grp, 0, n_total - 1)
+            cell_of_rank = jnp.where(grp > 0, s_c2[starts_r] // nsplit,
+                                     n_cells).astype(jnp.int32)
 
         lens_s, road_s, dyn_s, int_ss, zmin_s = _per_split_with_full(
             (lens, road_c, dyn_c, int_s, zmin), n_cells, gen_future)
@@ -220,6 +262,8 @@ def split_stats_from_words_flat(c2, packed, packed2, n_cells, gen_future,
             for s in lens_s:
                 _emit_split(out, s, lens_s[s], road_s[s], int_ss[s],
                             dyn_s[s], zmin_s[s], med[s], None)
+            if cell_of_rank is not None:
+                out['cell_of_rank'] = cell_of_rank
             return out
 
         # No in-kernel medians: per-channel median sorts on the unpacked
@@ -298,7 +342,7 @@ def _median_sorts(c2, packed, starts, ends, n_cells, nsplit, gen_future,
 
 def split_stats_from_packed(c2, packed, packed2, pixel_size, gen_future,
                             rgb_fill=0, pallas_interpret=False,
-                            hist_medians=True):
+                            hist_medians=True, compact_groups=False):
     """Pallas-kernel split stats from pre-packed payload words.
 
     The 1-key sort (a 2-key comparator costs ~2x on the main sort,
@@ -307,14 +351,23 @@ def split_stats_from_packed(c2, packed, packed2, pixel_size, gen_future,
     z-min and (with hist_medians) the exact per-group rgb medians
     (ops/pallas_stats.py) instead of cumsums + a per-group searchsorted +
     6 median sorts. (P,P)-shaped wrapper over split_stats_from_words_flat.
+
+    With ``compact_groups`` the maps come back RANK-indexed (their (P,P)
+    shape is a container, not a spatial layout) plus a flat
+    ``cell_of_rank`` key — only the sparse-pack emit path consumes that
+    form (bev/core._emit_outputs).
     """
     P = pixel_size
     flat = split_stats_from_words_flat(
         c2, packed, packed2, P * P, gen_future, rgb_fill=rgb_fill,
         use_pallas=True, pallas_interpret=pallas_interpret,
-        hist_medians=hist_medians)
-    return {k: v.reshape((3, P, P) if v.ndim == 2 else (P, P))
-            for k, v in flat.items()}
+        hist_medians=hist_medians, compact_groups=compact_groups)
+    cor = flat.pop('cell_of_rank', None)
+    out = {k: v.reshape((3, P, P) if v.ndim == 2 else (P, P))
+           for k, v in flat.items()}
+    if cor is not None:
+        out['cell_of_rank'] = cor
+    return out
 
 
 def sorted_split_stats(cells, static_m, is_future, z, intensity, rgb, sem,
